@@ -1,0 +1,1 @@
+from spinnerf_tpu.eval import metrics, render  # noqa: F401

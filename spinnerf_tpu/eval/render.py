@@ -1,0 +1,115 @@
+"""Full-frame and path rendering: the TPU replacement for `render_path`
+(`DS_NeRF/run_nerf.py:168-307`).
+
+A frame's pixels are flattened into one ray batch and rendered in fixed-size
+chunks through a single compiled program (`core.rendering.render_rays_chunked`),
+with the chunk dimension shardable over the data mesh axis. Per-frame artifact
+dumping (rgb/depth/disp/weight/z/alpha/pose/intrinsics) reproduces the disk
+contract that `mask_refinement.py` and the MVSeg tooling consume.
+"""
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spinnerf_tpu.core import rendering
+from spinnerf_tpu.core.rendering import RenderConfig
+from spinnerf_tpu.data import raybank
+from spinnerf_tpu.eval.metrics import to8b
+
+
+def render_frame(key, c2w, hwf, field_fn, cfg: RenderConfig, *,
+                 near, far, ndc: bool = False, chunk: int = 8192,
+                 fine_field_fn=None, render_factor: int = 0):
+    """Render one camera pose to per-pixel maps.
+
+    Returns dict with rgb [H,W,3], disp/acc/depth [H,W], weights/z_vals
+    [H,W,S], alpha [H,W,S] (+ prob [H,W] when cfg.semantic).
+    """
+    batch, (h, w) = raybank.frame_ray_batch(hwf, c2w, near, far, ndc=ndc,
+                                            render_factor=render_factor)
+    res = rendering.render_rays_chunked(key, batch, field_fn, cfg, chunk,
+                                        fine_field_fn=fine_field_fn)
+    fine = res.fine
+
+    def shape(x, extra=()):
+        return np.asarray(x).reshape((h, w) + tuple(extra))
+
+    out = {
+        "rgb": shape(fine.rgb, (3,)),
+        "disp": shape(fine.disp),
+        "acc": shape(fine.acc),
+        "depth": shape(fine.depth),
+        "weights": shape(fine.weights, (fine.weights.shape[-1],)),
+        "z_vals": shape(fine.z_vals, (fine.z_vals.shape[-1],)),
+        "alpha": shape(fine.alpha, (fine.alpha.shape[-1],)),
+    }
+    if fine.prob is not None:
+        out["prob"] = shape(fine.prob)
+    return out
+
+
+def render_path(key, poses, hwf, field_fn, cfg: RenderConfig, *, near, far,
+                ndc: bool = False, chunk: int = 8192, fine_field_fn=None,
+                render_factor: int = 0, save_dir=None, gt_images=None,
+                save_alpha: bool = False, progress: bool = True):
+    """Render a pose list; optionally dump the reference's per-frame artifact
+    tree (rgb/, depth/, disp/, weight/, z/, pose/, intrinsics.txt).
+
+    Returns (rgbs [M,H,W,3], disps [M,H,W]) as numpy arrays.
+    """
+    h, w, focal = hwf
+    if render_factor:
+        h, w, focal = h // render_factor, w // render_factor, focal / render_factor
+
+    if save_dir is not None:
+        save_dir = Path(save_dir)
+        for sub in ["rgb", "depth", "disp", "weight", "z", "pose", "images"] + \
+                   (["alpha"] if save_alpha else []):
+            (save_dir / sub).mkdir(parents=True, exist_ok=True)
+        intrinsics = np.array([[focal, 0, w / 2], [0, focal, h / 2], [0, 0, 1]])
+        np.savetxt(save_dir / "intrinsics.txt", intrinsics)
+
+    rgbs, disps = [], []
+    keys = jax.random.split(key, len(poses))
+    for i, (k, c2w) in enumerate(zip(keys, poses)):
+        maps = render_frame(k, jnp.asarray(c2w), (h, w, focal), field_fn, cfg,
+                            near=near, far=far, ndc=ndc, chunk=chunk,
+                            fine_field_fn=fine_field_fn)
+        rgbs.append(maps["rgb"])
+        disps.append(maps["disp"])
+        if save_dir is not None:
+            import imageio.v2 as imageio
+            imageio.imwrite(save_dir / "rgb" / f"{i:06d}.png", to8b(maps["rgb"]))
+            np.save(save_dir / "depth" / f"{i:06d}.npy", maps["depth"])
+            np.save(save_dir / "disp" / f"{i:06d}.npy", maps["disp"])
+            np.save(save_dir / "weight" / f"{i:06d}.npy", maps["weights"])
+            np.save(save_dir / "z" / f"{i:06d}.npy", maps["z_vals"])
+            if save_alpha:
+                np.save(save_dir / "alpha" / f"{i:06d}.npy", maps["alpha"])
+            pose44 = np.concatenate([np.asarray(c2w)[:3, :4],
+                                     [[0, 0, 0, 1]]], axis=0)
+            np.savetxt(save_dir / "pose" / f"{i:06d}.txt", pose44)
+            if gt_images is not None:
+                imageio.imwrite(save_dir / "images" / f"{i:06d}.png",
+                                to8b(gt_images[i]))
+    return np.stack(rgbs), np.stack(disps)
+
+
+def write_video(path, frames, fps: int = 30):
+    """Write an mp4 from [M,H,W,3] float or uint8 frames."""
+    import imageio.v2 as imageio
+    frames = [to8b(f) if f.dtype != np.uint8 else f for f in frames]
+    imageio.mimwrite(str(path), frames, fps=fps, quality=8)
+
+
+def normalize_disps_for_video(disps):
+    """NaN-zeroed disparity normalized by its 95th percentile
+    (parity: `run_nerf.py:1214-1218`)."""
+    d = np.nan_to_num(np.asarray(disps), nan=0.0)
+    denom = np.percentile(d, 95)
+    return d / (denom if denom > 0 else 1.0)

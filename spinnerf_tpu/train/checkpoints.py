@@ -1,0 +1,58 @@
+"""Checkpointing via orbax: {step, params, opt_state} with auto-resume.
+
+Parity: the reference saves `.tar` dicts every `i_weights` and auto-resumes
+from the newest one found in the experiment dir
+(`DS_NeRF/run_nerf.py:443-461,1626-1636`); notably its hash-grid path
+*disables* reload (`:545-547`) — here every field type checkpoints the same
+way. Doubles as crash recovery (SURVEY §5).
+"""
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    """Thin wrapper around orbax CheckpointManager with the framework layout."""
+
+    def __init__(self, exp_dir, *, max_to_keep: int = 3,
+                 save_interval: int = 10000):
+        self.dir = Path(exp_dir) / "checkpoints"
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self.save_interval = save_interval
+        self._mgr = ocp.CheckpointManager(
+            self.dir.resolve(),
+            options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep,
+                                                 create=True))
+
+    def maybe_save(self, step: int, params, opt_state, force: bool = False):
+        if force or (self.save_interval and step % self.save_interval == 0
+                     and step > 0):
+            self._mgr.save(step, args=ocp.args.StandardSave(
+                {"params": params, "opt_state": opt_state}))
+            return True
+        return False
+
+    def latest_step(self):
+        return self._mgr.latest_step()
+
+    def restore(self, step=None, *, like=None):
+        """Restore (step, {"params", "opt_state"}). `like` provides the target
+        pytree structure (pass the freshly-initialized state)."""
+        step = self.latest_step() if step is None else step
+        if step is None:
+            return None, None
+        if like is not None:
+            restored = self._mgr.restore(
+                step, args=ocp.args.StandardRestore(like))
+        else:
+            restored = self._mgr.restore(step)
+        return step, restored
+
+    def wait(self):
+        self._mgr.wait_until_finished()
+
+    def close(self):
+        self._mgr.close()

@@ -1,0 +1,261 @@
+"""Training orchestration: config -> scene -> ray bank -> fused step -> loop.
+
+The TPU-native equivalent of the reference's `train()`
+(`DS_NeRF/run_nerf.py:963-1703`): loads the scene, builds the fixed-shape ray
+bank, compiles one fused train step, and runs the loop with the reference's
+cadence hooks — periodic checkpoints (`i_weights`), spiral+test videos
+(`i_video`), testset PSNR dumps (`i_testset`), console metrics (`i_print`),
+and the `--prepare` disparity dump that stages LaMa guidance (`i_feat`,
+`run_nerf.py:1599-1609`).
+"""
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spinnerf_tpu.config import Config
+from spinnerf_tpu.core.rendering import RenderConfig
+from spinnerf_tpu.data import colmap, llff, raybank
+from spinnerf_tpu.eval import metrics as eval_metrics
+from spinnerf_tpu.eval import render as eval_render
+from spinnerf_tpu.models.fields import NeRFField
+from spinnerf_tpu.parallel import mesh as mesh_lib
+from spinnerf_tpu.train import checkpoints, schedule
+from spinnerf_tpu.train.step import TrainConfig, init_params, make_train_step
+
+
+@dataclass
+class TrainState:
+    params: dict
+    opt_state: object
+    step: int
+
+
+def build_model(cfg: Config, semantic: bool = False):
+    if cfg.no_tcnn:
+        return NeRFField(
+            depth=cfg.netdepth, width=cfg.netwidth,
+            multires=cfg.multires, multires_views=cfg.multires_views,
+            use_viewdirs=cfg.use_viewdirs, semantic=semantic,
+            compute_dtype=jnp.dtype(cfg.compute_dtype))
+    # hash-grid default (reference defaults to NeRF_TCNN, `run_nerf.py:1144`)
+    from spinnerf_tpu.models.hashgrid import HashGridField
+    return HashGridField(semantic=semantic,
+                         compute_dtype=jnp.dtype(cfg.compute_dtype))
+
+
+def render_config(cfg: Config, *, train: bool) -> RenderConfig:
+    return RenderConfig(
+        n_samples=cfg.N_samples,
+        n_importance=cfg.N_importance,
+        perturb=bool(cfg.perturb) and train,
+        lindisp=cfg.lindisp,
+        raw_noise_std=cfg.raw_noise_std if train else 0.0,
+        white_bkgd=cfg.white_bkgd,
+    )
+
+
+def train_config(cfg: Config) -> TrainConfig:
+    return TrainConfig(
+        render=render_config(cfg, train=True),
+        n_rand=cfg.N_rand,
+        prepare=cfg.prepare,
+        masked_nerf=cfg.masked_NeRF,
+        object_removal=cfg.object_removal,
+        no_geometry=cfg.no_geometry,
+        use_coarse_loss=not cfg.no_coarse,
+        depth_supervision=cfg.colmap_depth and cfg.depth_loss,
+        depth_lambda=cfg.depth_lambda,
+        weighted_loss=cfg.weighted_loss,
+        relative_loss=cfg.relative_loss,
+        normalize_depth=cfg.normalize_depth,
+        sigma_loss=cfg.sigma_loss,
+        sigma_lambda=cfg.sigma_lambda,
+        distortion_weight=cfg.distortion_weight,
+        lrate=cfg.lrate,
+        lrate_decay=cfg.lrate_decay,
+        grad_clip=cfg.grad_clip,
+    )
+
+
+class Trainer:
+    """End-to-end DS-NeRF-style trainer on one scene."""
+
+    def __init__(self, cfg: Config, *, scene: llff.Scene | None = None,
+                 mesh=None, lpips_fn=None, log=print):
+        self.cfg = cfg
+        self.log = log
+        self.exp_dir = cfg.exp_dir()
+        self.exp_dir.mkdir(parents=True, exist_ok=True)
+        cfg.save()
+
+        # --- data ---
+        self.scene = scene if scene is not None else llff.load_scene(
+            cfg.datadir, factor=cfg.factor, prepare=cfg.prepare,
+            spherify=cfg.spherify, lpips_mode=cfg.lpips)
+        self.i_train, self.i_test = llff.train_test_split(
+            len(self.scene.images), n_gt=cfg.N_gt, train_gt=cfg.train_gt,
+            llffhold=0 if cfg.llffhold >= 1000000 else cfg.llffhold,
+            n_train=cfg.N_train)
+
+        depth_list = None
+        if cfg.colmap_depth:
+            depth_list = colmap.sparse_depth_for_views(
+                Path(cfg.datadir) / "sparse" / "0", factor=cfg.factor,
+                bd_scale=self.scene.scale)
+        self.bank = raybank.build_raybank(
+            self.scene, self.i_train, depth_list=depth_list,
+            prepare=cfg.prepare, train_gt=cfg.train_gt, ndc=cfg.ndc
+            if cfg.dataset_type == "llff" and not cfg.no_ndc else False)
+
+        # --- model + step ---
+        self.model = build_model(cfg)
+        self.tcfg = train_config(cfg)
+        self.tx = schedule.make_optimizer(cfg.lrate, cfg.lrate_decay,
+                                          cfg.grad_clip)
+        self.mesh = mesh if mesh is not None else (
+            mesh_lib.make_mesh() if jax.device_count() > 1 else None)
+
+        if lpips_fn is None and cfg.lpips and self.scene.masks is not None:
+            from spinnerf_tpu.models.lpips import load_lpips
+            from spinnerf_tpu.train.lpips_patch import make_patch_lpips_fn
+            lpips_fn = make_patch_lpips_fn(
+                self.model, self.scene, self.i_train,
+                lpips=load_lpips(), render=render_config(cfg, train=False),
+                near=self.bank.near, far=self.bank.far, ndc=self.bank.ndc,
+                lpips_render_factor=cfg.lpips_render_factor,
+                patch_len_factor=cfg.patch_len_factor,
+                batch_size=cfg.lpips_batch_size)
+        self.step_fn = make_train_step(self.model, self.tcfg, self.bank,
+                                       self.tx, mesh=self.mesh,
+                                       lpips_fn=lpips_fn)
+
+        key = jax.random.PRNGKey(cfg.seed)
+        self.key, k_init = jax.random.split(key)
+        params = init_params(self.model, k_init,
+                             n_importance=cfg.N_importance)
+        opt_state = self.tx.init(params)
+        self.state = TrainState(params=params, opt_state=opt_state, step=0)
+
+        # --- resume ---
+        self.ckpt = checkpoints.CheckpointManager(
+            self.exp_dir, save_interval=cfg.i_weights)
+        if not cfg.no_reload:
+            step, restored = self.ckpt.restore(
+                like={"params": params, "opt_state": opt_state})
+            if step is not None:
+                self.state = TrainState(params=restored["params"],
+                                        opt_state=restored["opt_state"],
+                                        step=step)
+                self.log(f"resumed from checkpoint at step {step}")
+
+    # --- rendering helpers ---------------------------------------------------
+
+    def field_fns(self):
+        params = self.state.params
+
+        def coarse(pts, vd):
+            return self.model.apply(params["coarse"], pts, vd)
+        if "fine" not in params:
+            return coarse, coarse
+
+        def fine(pts, vd):
+            return self.model.apply(params["fine"], pts, vd)
+        return coarse, fine
+
+    def render_poses_list(self, poses, *, render_factor=None, save_dir=None,
+                          gt_images=None, save_alpha=False):
+        coarse_fn, fine_fn = self.field_fns()
+        rf = self.cfg.render_factor if render_factor is None else render_factor
+        return eval_render.render_path(
+            jax.random.PRNGKey(0), poses, self.scene.hwf, coarse_fn,
+            render_config(self.cfg, train=False), near=self.bank.near,
+            far=self.bank.far, ndc=self.bank.ndc, chunk=self.cfg.chunk,
+            fine_field_fn=fine_fn, render_factor=rf, save_dir=save_dir,
+            gt_images=gt_images, save_alpha=save_alpha)
+
+    # --- cadence hooks -------------------------------------------------------
+
+    def _video_hook(self, step):
+        rgbs, disps = self.render_poses_list(self.scene.render_poses,
+                                             render_factor=self.cfg.render_factor)
+        vdir = self.exp_dir / f"video_{step:06d}"
+        vdir.mkdir(exist_ok=True)
+        eval_render.write_video(vdir / "rgb.mp4", rgbs)
+        eval_render.write_video(
+            vdir / "disp.mp4", eval_render.normalize_disps_for_video(disps))
+        self.log(f"[{step}] wrote spiral videos to {vdir}")
+
+    def _testset_hook(self, step):
+        if len(self.i_test) == 0:
+            return
+        tdir = self.exp_dir / f"testset_{step:06d}"
+        rgbs, _ = self.render_poses_list(
+            self.scene.poses[self.i_test], save_dir=tdir,
+            gt_images=self.scene.images[self.i_test])
+        ps = [float(eval_metrics.psnr(jnp.asarray(r),
+                                      jnp.asarray(self.scene.images[t])))
+              for r, t in zip(rgbs, self.i_test)]
+        self.log(f"[{step}] testset PSNR mean {np.mean(ps):.2f}")
+        with open(tdir / "psnr.json", "w") as f:
+            json.dump({"per_view": ps, "mean": float(np.mean(ps))}, f)
+
+    def _prepare_hook(self, step, out_dir=None):
+        """Render every pose's disparity + downsampled mask into the LaMa
+        staging layout (`run_nerf.py:1599-1609`)."""
+        out = Path(out_dir) if out_dir else self.exp_dir / "lama_input"
+        (out / "label").mkdir(parents=True, exist_ok=True)
+        _, disps = self.render_poses_list(self.scene.poses,
+                                          render_factor=self.cfg.render_factor)
+        rf = max(self.cfg.render_factor, 1)
+        import cv2
+        for i, d in enumerate(disps):
+            cv2.imwrite(str(out / f"img{i:0>3}.png"),
+                        np.clip(np.nan_to_num(d) * 255, 0, 255).astype(np.uint8))
+            if self.scene.masks is not None:
+                m = np.abs(self.scene.masks[i])[::rf, ::rf]
+                cv2.imwrite(str(out / "label" / f"img{i:0>3}.png"),
+                            (np.clip(m, 0, 1) * 255).astype(np.uint8))
+        self.log(f"[{step}] wrote LaMa guidance inputs to {out}")
+        return out
+
+    # --- main loop -----------------------------------------------------------
+
+    def fit(self, n_iters: int | None = None, *, hooks: bool = True):
+        cfg = self.cfg
+        n_iters = cfg.N_iters if n_iters is None else n_iters
+        state = self.state
+        t0 = time.time()
+        rays_done = 0
+        for i in range(state.step + 1, n_iters + 1):
+            self.key, k = jax.random.split(self.key)
+            state.params, state.opt_state, metrics = self.step_fn(
+                state.params, state.opt_state, k, i)
+            state.step = i
+            rays_done += self.tcfg.n_rand * (len(self.bank.groups) + 1)
+
+            if hooks:
+                if i % cfg.i_print == 0:
+                    m = {k_: float(v) for k_, v in metrics.items()}
+                    dt = time.time() - t0
+                    self.log(f"[{i}/{n_iters}] loss {m['loss']:.4f} "
+                             f"psnr {m['psnr']:.2f} "
+                             f"({rays_done / max(dt, 1e-9):.0f} rays/s)")
+                self.ckpt.maybe_save(i, state.params, state.opt_state)
+                if cfg.i_video and i % cfg.i_video == 0 and i > 0:
+                    self._video_hook(i)
+                if cfg.i_testset and i % cfg.i_testset == 0 and i > 0:
+                    self._testset_hook(i)
+                if (cfg.prepare and cfg.i_feat and i % cfg.i_feat == 0
+                        and i == n_iters - 1):
+                    self._prepare_hook(i)
+        self.state = state
+        if hooks:
+            self.ckpt.wait()   # drain async orbax writes before returning
+        return state

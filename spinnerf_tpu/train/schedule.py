@@ -1,0 +1,30 @@
+"""Learning-rate schedules and optimizer construction.
+
+Parity: the reference decays Adam's lr manually each step as
+`lrate * 0.1^(step / (lrate_decay * 1000))` (`DS_NeRF/run_nerf.py:1615-1622`)
+with Adam betas (0.9, 0.999). Expressed here as an optax schedule so the
+update rule lives inside the jitted step.
+"""
+from __future__ import annotations
+
+import optax
+
+
+def exponential_lr(lrate: float, lrate_decay: float) -> optax.Schedule:
+    """Continuous exponential decay: lr(step) = lrate * 0.1^(step / (decay*1000))."""
+    return optax.exponential_decay(
+        init_value=lrate,
+        transition_steps=max(int(lrate_decay * 1000), 1),
+        decay_rate=0.1,
+        staircase=False,
+    )
+
+
+def make_optimizer(lrate: float, lrate_decay: float,
+                   grad_clip: float | None = None) -> optax.GradientTransformation:
+    """Adam with the reference's exponential decay; optional global-norm clip
+    (not in the reference NeRF trainer, but standard for bf16 stability)."""
+    tx = optax.adam(exponential_lr(lrate, lrate_decay), b1=0.9, b2=0.999)
+    if grad_clip is not None:
+        tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
+    return tx

@@ -1,0 +1,246 @@
+"""The single fused training step.
+
+The reference renders 3-4 *separate* ray batches per iteration (clf batch,
+masked batch with detached weights, inpainted-depth batch, sparse-depth batch
+— `DS_NeRF/run_nerf.py:1454-1480`), each with its own chunked render call.
+TPU-first redesign: all groups are concatenated into ONE ray batch and
+rendered in a single pass — the MLP sees one [4B, S] point matmul instead of
+four [B, S] ones (MXU-friendly), and the stop-gradient variant of the RGB map
+comes for free from `core.rendering.composite` instead of a second render.
+
+Loss terms (parity: `run_nerf.py:1482-1561`):
+  clf    MSE outside the mask (+ coarse)
+  rgb    MSE on inpainted RGB inside the mask, weights stop-gradiented
+         (+ coarse); replaced by the 0.001 * mean(acc) suppression term in
+         object-removal mode
+  inp    MSE between rendered disparity and LaMa-inpainted disparity (+ coarse),
+         NaN-guarded
+  depth  COLMAP sparse-depth loss (plain/weighted/relative/normalized),
+         weighted by depth_lambda
+  sigma  optional URF sigma loss on the depth rays (`DS_NeRF/loss.py`)
+  lpips  patch-perceptual loss — wired via an optional callable (stage 6)
+
+Everything happens inside one jit; the optimizer update (Adam + exponential
+decay) is part of the compiled graph. With a mesh, ray batches are sharded
+over the ``data`` axis and GSPMD inserts the gradient psum.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from spinnerf_tpu.core import losses, rendering, sampling
+from spinnerf_tpu.core.rendering import RenderConfig
+from spinnerf_tpu.data import raybank
+from spinnerf_tpu.parallel import mesh as mesh_lib
+
+
+class TrainConfig(NamedTuple):
+    """Static training hyperparameters (hashable)."""
+    render: RenderConfig = RenderConfig()
+    n_rand: int = 1024
+    prepare: bool = False
+    masked_nerf: bool = False
+    object_removal: bool = False
+    no_geometry: bool = False
+    use_coarse_loss: bool = True        # reference: not --no_coarse
+    depth_supervision: bool = False     # --colmap_depth --depth_loss
+    depth_lambda: float = 0.1
+    weighted_loss: bool = False
+    relative_loss: bool = False
+    normalize_depth: bool = False
+    sigma_loss: bool = False
+    sigma_lambda: float = 0.1
+    distortion_weight: float = 0.0      # TPU extra: mip-360 regularizer
+    lrate: float = 5e-4
+    lrate_decay: float = 250.0
+    grad_clip: float | None = None
+    share_coarse_fine: bool = False     # one set of weights for both passes
+
+
+def _active_groups(cfg: TrainConfig, bank: raybank.RayBank):
+    """Which pixel groups participate this run (static decision)."""
+    groups = ["clf"]
+    if not cfg.masked_nerf or cfg.object_removal:
+        groups.append("rgb")
+    if (not cfg.prepare and not cfg.object_removal and not cfg.no_geometry
+            and bank.inp_depths is not None and bank.groups["inp"].count > 0):
+        groups.append("inp")
+    return groups
+
+
+def _concat_batches(batches: list[dict]) -> dict:
+    keys = set.intersection(*(set(b) for b in batches))
+    return {k: jnp.concatenate([b[k] for b in batches]) for k in keys}
+
+
+def make_train_step(model, cfg: TrainConfig, bank: raybank.RayBank,
+                    tx: optax.GradientTransformation,
+                    mesh=None, lpips_fn: Callable | None = None):
+    """Build the jitted train step.
+
+    Args:
+      model: a field module (`models.fields.NeRFField`-compatible apply).
+      cfg: static TrainConfig.
+      bank: RayBank (device arrays; becomes a jit argument via its pytree).
+      tx: optax optimizer (use `schedule.make_optimizer`).
+      mesh: optional `jax.sharding.Mesh` for ray-batch data parallelism.
+      lpips_fn: optional callable(params, key) -> scalar patch-LPIPS loss,
+        traced into the same step when given.
+
+    Returns:
+      step(params, opt_state, key, step_idx) -> (params, opt_state, metrics)
+    """
+    groups = _active_groups(cfg, bank)
+    use_depth = (cfg.depth_supervision and bank.depth_group is not None
+                 and bank.depth_group.count > 0)
+    b = cfg.n_rand
+    rcfg = cfg.render
+
+    def field_fns(params):
+        def coarse(pts, vd):
+            return model.apply(params["coarse"], pts, vd)
+
+        if cfg.share_coarse_fine or "fine" not in params:
+            return coarse, coarse
+
+        def fine(pts, vd):
+            return model.apply(params["fine"], pts, vd)
+        return coarse, fine
+
+    def loss_fn(params, key, step_idx):
+        keys = jax.random.split(key, len(groups) + 3)
+        k_render, k_depth, k_lpips = keys[-3], keys[-2], keys[-1]
+
+        batches, targets = [], []
+        for k_g, name in zip(keys, groups):
+            ba, tg = raybank.sample_group(k_g, bank, name, b)
+            batches.append(ba)
+            targets.append(tg)
+        if use_depth:
+            depth_batch = raybank.sample_depth_group(k_depth, bank, b)
+            batches.append({k: depth_batch[k]
+                            for k in ("origins", "directions", "near", "far",
+                                      "viewdirs")})
+
+        fused = _concat_batches(batches)
+        if mesh is not None:
+            fused = mesh_lib.shard_batch(fused, mesh)
+
+        coarse_fn, fine_fn = field_fns(params)
+        res = rendering.render_rays(k_render, fused, coarse_fn, rcfg,
+                                    fine_field_fn=fine_fn)
+        fine, coarse = res.fine, res.coarse
+
+        def seg(x, i):
+            return x[i * b:(i + 1) * b]
+
+        metrics = {}
+        loss = jnp.float32(0.0)
+
+        gi = {name: i for i, name in enumerate(groups)}
+
+        # --- clf: MSE outside the mask ---
+        i = gi["clf"]
+        tgt = targets[i]["rgb"]
+        img_loss = losses.mse(seg(fine.rgb, i), tgt)
+        metrics["psnr"] = losses.mse_to_psnr(img_loss)
+        if cfg.use_coarse_loss and coarse is not None:
+            img_loss = img_loss + losses.mse(seg(coarse.rgb, i), tgt)
+        loss = loss + img_loss
+        metrics["img_loss"] = img_loss
+
+        # --- rgb ("complete"): masked supervision / object removal ---
+        if "rgb" in gi:
+            i = gi["rgb"]
+            if cfg.object_removal:
+                acc_term = 0.001 * jnp.mean(seg(fine.acc, i))
+                loss = loss + acc_term
+                metrics["acc_loss"] = acc_term
+            elif not cfg.masked_nerf:
+                tgt = targets[i]["rgb"]
+                m_loss = losses.mse(seg(fine.rgb_sg, i), tgt)
+                if cfg.use_coarse_loss and coarse is not None:
+                    m_loss = m_loss + losses.mse(seg(coarse.rgb_sg, i), tgt)
+                loss = loss + m_loss
+                metrics["masked_loss"] = m_loss
+
+        # --- inp: disparity follows the inpainted depth prior ---
+        if "inp" in gi:
+            i = gi["inp"]
+            tgt = targets[i]["inp_depth"]
+            inp_loss = losses.mse(seg(fine.disp, i), tgt)
+            if cfg.use_coarse_loss and coarse is not None:
+                inp_loss = inp_loss + losses.mse(seg(coarse.disp, i), tgt)
+            inp_loss = jnp.where(jnp.isnan(inp_loss), 0.0, inp_loss)
+            loss = loss + inp_loss
+            metrics["inp_loss"] = inp_loss
+
+        # --- depth: COLMAP sparse supervision ---
+        if use_depth:
+            i = len(groups)
+            pred_depth = seg(fine.depth, i)
+            d_loss = losses.depth_loss(
+                pred_depth, depth_batch["depths"],
+                ray_weights=depth_batch["weights"],
+                weighted=cfg.weighted_loss, relative=cfg.relative_loss,
+                normalize=cfg.normalize_depth,
+                max_depth=bank.depth_group.max_depth)
+            loss = loss + cfg.depth_lambda * d_loss
+            metrics["depth_loss"] = d_loss
+
+            if cfg.sigma_loss:
+                # resample from near to the GT depth; density should spike at
+                # the last sample (`DS_NeRF/loss.py:15-44`)
+                t = jnp.linspace(0.0, 1.0, rcfg.n_samples)
+                z = (depth_batch["near"][:, None] * (1 - t) +
+                     depth_batch["depths"][:, None] * t)
+                pts = sampling.ray_points(depth_batch["origins"],
+                                          depth_batch["directions"], z)
+                raw = fine_fn(pts, depth_batch["viewdirs"])
+                s_loss = jnp.mean(losses.sigma_loss(jax.nn.relu(raw[..., 3])))
+                loss = loss + cfg.sigma_lambda * s_loss
+                metrics["sigma_loss"] = s_loss
+
+        if cfg.distortion_weight > 0.0:
+            dist = losses.distortion_loss(fine.weights, fine.z_vals)
+            loss = loss + cfg.distortion_weight * dist
+            metrics["distortion"] = dist
+
+        if lpips_fn is not None:
+            lp = lpips_fn(params, k_lpips)
+            # the reference enables the perceptual term after iter 300
+            # (`run_nerf.py:1523`); gate smoothly with a 0/1 factor so the
+            # graph stays static.
+            start = getattr(lpips_fn, "start_iter", 0)
+            if start > 0:
+                lp = lp * (step_idx > start).astype(lp.dtype)
+            loss = loss + lp
+            metrics["lpips_loss"] = lp
+
+        metrics["loss"] = loss
+        return loss, metrics
+
+    def train_step(params, opt_state, key, step_idx):
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, key, step_idx)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0, 1))
+
+
+def init_params(model, key, *, share_coarse_fine: bool = False,
+                n_importance: int = 64):
+    """Initialize {"coarse", "fine"} parameter trees."""
+    pts = jnp.zeros((1, 2, 3))
+    vd = jnp.zeros((1, 3))
+    k1, k2 = jax.random.split(key)
+    params: dict[str, Any] = {"coarse": model.init(k1, pts, vd)}
+    if n_importance > 0 and not share_coarse_fine:
+        params["fine"] = model.init(k2, pts, vd)
+    return params

@@ -1,0 +1,70 @@
+"""COLMAP IO: binary round-trips and geometric consistency."""
+import numpy as np
+import pytest
+
+from spinnerf_tpu.data import colmap
+
+
+def test_qvec_rotmat_roundtrip(rng):
+    for _ in range(10):
+        q = rng.randn(4)
+        q /= np.linalg.norm(q)
+        if q[0] < 0:
+            q = -q
+        r = colmap.qvec_to_rotmat(q)
+        np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-10)
+        np.testing.assert_allclose(colmap.rotmat_to_qvec(r), q, atol=1e-8)
+
+
+def _tiny_model(rng):
+    cameras = {1: colmap.Camera(1, "SIMPLE_PINHOLE", 64, 48,
+                                np.array([50.0, 32.0, 24.0]))}
+    images = {}
+    for i in (1, 2):
+        q = rng.randn(4)
+        q /= np.linalg.norm(q)
+        images[i] = colmap.Image(
+            i, q, rng.randn(3), 1, f"im{i}.png",
+            rng.rand(5, 2) * 32, np.array([1, 2, -1, 3, -1], np.int64))
+    points = {
+        j: colmap.Point3D(j, rng.randn(3), (rng.rand(3) * 255).astype(np.uint8),
+                          float(rng.rand()), np.array([1, 2], np.int32),
+                          np.array([0, 1], np.int32))
+        for j in (1, 2, 3)
+    }
+    return cameras, images, points
+
+
+def test_binary_roundtrip(tmp_path, rng):
+    cameras, images, points = _tiny_model(rng)
+    colmap.write_cameras_binary(cameras, tmp_path / "cameras.bin")
+    colmap.write_images_binary(images, tmp_path / "images.bin")
+    colmap.write_points3d_binary(points, tmp_path / "points3D.bin")
+
+    c2, i2, p2 = colmap.read_model(tmp_path)
+    assert c2[1].model == "SIMPLE_PINHOLE" and c2[1].width == 64
+    np.testing.assert_allclose(c2[1].params, cameras[1].params)
+    for k in images:
+        np.testing.assert_allclose(i2[k].qvec, images[k].qvec)
+        np.testing.assert_allclose(i2[k].xys, images[k].xys)
+        np.testing.assert_array_equal(i2[k].point3d_ids, images[k].point3d_ids)
+        assert i2[k].name == images[k].name
+    for k in points:
+        np.testing.assert_allclose(p2[k].xyz, points[k].xyz)
+        np.testing.assert_array_equal(p2[k].image_ids, points[k].image_ids)
+
+
+def test_cam_world_inverse(rng):
+    q = rng.randn(4)
+    q /= np.linalg.norm(q)
+    im = colmap.Image(1, q, rng.randn(3), 1, "x", np.zeros((0, 2)),
+                      np.zeros(0, np.int64))
+    np.testing.assert_allclose(im.world_to_cam() @ im.cam_to_world(),
+                               np.eye(4), atol=1e-10)
+
+
+def test_dense_array_roundtrip(tmp_path, rng):
+    arr = rng.rand(7, 9).astype(np.float32)
+    colmap.write_dense_array(arr, tmp_path / "d.bin")
+    got = colmap.read_dense_array(tmp_path / "d.bin")
+    np.testing.assert_allclose(got, arr)

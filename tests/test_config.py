@@ -1,0 +1,80 @@
+"""Config-system tests: file parsing, CLI precedence, reference config files."""
+import numpy as np
+
+from spinnerf_tpu.config import Config, load_config, parse_config_file
+
+# The reference's scene config semantics (DS_NeRF/configs/config.txt values)
+REFERENCE_CONFIG = """
+factor = 4
+llffhold = 1000000
+N_gt = 40
+dataset_type = llff
+no_ndc
+lindisp
+colmap_depth
+depth_loss
+depth_lambda = 0.1
+N_rand = 1024
+N_samples = 64
+N_importance = 64
+lrate = 0.03
+lrate_decay = 10
+raw_noise_std = 1.0
+white_bkgd
+"""
+
+
+def test_parse_reference_style_config(tmp_path):
+    p = tmp_path / "config.txt"
+    p.write_text(REFERENCE_CONFIG)
+    cfg = load_config(["--config", str(p)])
+    assert cfg.factor == 4
+    assert cfg.N_gt == 40
+    assert cfg.no_ndc is True and cfg.ndc is False
+    assert cfg.lindisp is True
+    assert cfg.colmap_depth and cfg.depth_loss
+    assert cfg.depth_lambda == 0.1
+    assert cfg.N_rand == 1024
+    assert cfg.lrate == 0.03
+    assert cfg.raw_noise_std == 1.0
+    assert cfg.white_bkgd is True
+
+
+def test_cli_overrides_config_file(tmp_path):
+    p = tmp_path / "config.txt"
+    p.write_text("N_rand = 1024\nlrate = 0.03\n")
+    cfg = load_config(["--config", str(p), "--N_rand", "2048",
+                       "--prepare", "--expname", "statue"])
+    assert cfg.N_rand == 2048      # CLI wins
+    assert cfg.lrate == 0.03       # file value kept
+    assert cfg.prepare is True     # bare flag
+    assert cfg.expname == "statue"
+
+
+def test_defaults_match_reference():
+    cfg = Config()
+    assert cfg.netdepth == 8 and cfg.netwidth == 256
+    assert cfg.multires == 10 and cfg.multires_views == 4
+    assert cfg.N_samples == 64
+    assert cfg.perturb == 1.0
+    assert cfg.lpips_render_factor == 2
+    assert cfg.patch_len_factor == 8
+    assert cfg.lpips_batch_size == 4
+    assert cfg.clf_weight == 0.01
+    assert cfg.chunk == 32768 and cfg.netchunk == 65536
+
+
+def test_unknown_config_key_rejected(tmp_path):
+    p = tmp_path / "bad.txt"
+    p.write_text("not_a_flag = 7\n")
+    import pytest
+    with pytest.raises(ValueError, match="unknown config key"):
+        load_config(["--config", str(p)])
+
+
+def test_save_roundtrip(tmp_path):
+    cfg = Config(expname="x", basedir=str(tmp_path), N_rand=512)
+    cfg.save()
+    text = (tmp_path / "x" / "args.txt").read_text()
+    assert "N_rand = 512" in text
+    assert "expname = x" in text

@@ -1,0 +1,68 @@
+"""Metric tests: PSNR/SSIM conventions, mask IoU."""
+import numpy as np
+import jax.numpy as jnp
+
+from spinnerf_tpu.eval import metrics
+
+
+def test_psnr_known_values(rng):
+    a = jnp.zeros((16, 16, 3))
+    b = jnp.full((16, 16, 3), 0.1)
+    np.testing.assert_allclose(float(metrics.psnr(a, b)), 20.0, atol=1e-4)
+    assert float(metrics.psnr(a, a)) > 80
+
+
+def test_psnr_masked(rng):
+    a = np.zeros((8, 8, 3), np.float32)
+    b = a.copy()
+    b[:4] += 0.5            # error only in the top half
+    mask_top = np.zeros((8, 8), np.float32)
+    mask_top[:4] = 1
+    mask_bot = 1 - mask_top
+    p_top = float(metrics.psnr(jnp.asarray(a), jnp.asarray(b),
+                               jnp.asarray(mask_top)))
+    p_bot = float(metrics.psnr(jnp.asarray(a), jnp.asarray(b),
+                               jnp.asarray(mask_bot)))
+    np.testing.assert_allclose(p_top, -20 * np.log10(0.5), atol=1e-3)
+    assert p_bot > 80
+
+
+def test_ssim_identity_and_noise(rng):
+    img = rng.rand(32, 32, 3).astype(np.float32)
+    assert float(metrics.ssim(jnp.asarray(img), jnp.asarray(img))) > 0.999
+    noisy = np.clip(img + rng.randn(32, 32, 3) * 0.3, 0, 1).astype(np.float32)
+    s = float(metrics.ssim(jnp.asarray(img), jnp.asarray(noisy)))
+    assert 0.0 < s < 0.9
+
+
+def test_ssim_against_skimage_if_available(rng):
+    try:
+        from skimage.metrics import structural_similarity as sk_ssim
+    except ImportError:
+        import pytest
+        pytest.skip("skimage not available")
+    img = rng.rand(48, 48).astype(np.float32)
+    noisy = np.clip(img + rng.randn(48, 48) * 0.1, 0, 1).astype(np.float32)
+    ours = float(metrics.ssim(jnp.asarray(img), jnp.asarray(noisy)))
+    ref = sk_ssim(img, noisy, gaussian_weights=True, sigma=1.5,
+                  use_sample_covariance=False, data_range=1.0)
+    np.testing.assert_allclose(ours, ref, atol=0.02)
+
+
+def test_mask_metrics(rng):
+    gt = np.zeros((10, 10))
+    gt[2:6, 2:6] = 1
+    pred = np.zeros((10, 10))
+    pred[2:6, 2:8] = 1
+    m = metrics.mask_metrics(jnp.asarray(pred), jnp.asarray(gt))
+    inter, union = 16, 24
+    np.testing.assert_allclose(float(m["iou"]), inter / union, atol=1e-6)
+    np.testing.assert_allclose(float(m["accuracy"]), 92 / 100, atol=1e-6)
+
+
+def test_to8b_nan_safe():
+    x = np.array([[np.nan, 0.5], [2.0, -1.0]])
+    out = metrics.to8b(x)
+    assert out.dtype == np.uint8
+    assert out[0, 0] == 0 and out[0, 1] == 127
+    assert out[1, 0] == 255 and out[1, 1] == 0
