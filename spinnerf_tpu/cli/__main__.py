@@ -54,6 +54,81 @@ def main(argv=None):
         print(f"wrote {len(rgbs)} frames to {out}")
         return 0
 
+    if cmd == "mvseg":
+        from spinnerf_tpu.config import load_config
+        from spinnerf_tpu.pipeline import mvseg as mvseg_lib
+        from spinnerf_tpu.train.loop import Trainer
+        cfg = load_config(rest)
+        cfg.mvseg = True
+        tr = Trainer(cfg)
+        tr.fit()
+        out_dir, masks = mvseg_lib.export_masks(
+            tr, out_subdir="label", opening=cfg.post_opening)
+        print(f"wrote {len(masks)} lifted masks to {out_dir}")
+        if tr.scene.masks_gt is not None:
+            m = mvseg_lib.evaluate_masks(masks, tr.scene.masks_gt)
+            print(f"mask accuracy {m['accuracy']:.4f} IoU {m['iou']:.4f}")
+        return 0
+
+    if cmd == "inpaint":
+        import argparse
+        ap = argparse.ArgumentParser("spinnerf inpaint")
+        ap.add_argument("--indir", required=True)
+        ap.add_argument("--outdir", required=True)
+        ap.add_argument("--model_path", default=None,
+                        help="big-lama torch checkpoint to convert")
+        ap.add_argument("--refine", action="store_true")
+        a = ap.parse_args(rest)
+        from spinnerf_tpu.pipeline import inpaint2d
+        out = inpaint2d.inpaint_directory(a.indir, a.outdir,
+                                          checkpoint_path=a.model_path,
+                                          refine=a.refine)
+        print(f"inpainted images written to {out}")
+        return 0
+
+    if cmd == "pipeline":
+        from spinnerf_tpu.config import load_config
+        from spinnerf_tpu.pipeline.stages import run_pipeline
+        cfg = load_config(rest)
+        _, results = run_pipeline(cfg)
+        print(results.get("summary", {}))
+        return 0
+
+    if cmd == "refine_masks":
+        import argparse
+        ap = argparse.ArgumentParser("spinnerf refine_masks")
+        ap.add_argument("--render_dir", required=True,
+                        help="render_path dump dir (rgb/z/alpha/pose/...)")
+        ap.add_argument("--mask_dir", required=True)
+        ap.add_argument("--out_dir", required=True)
+        ap.add_argument("--distance_thresh", type=float, default=0.01)
+        ap.add_argument("--alpha_thresh", type=float, default=0.1)
+        ap.add_argument("--dilate_iters", type=int, default=5)
+        a = ap.parse_args(rest)
+        import cv2
+        import numpy as np
+        from pathlib import Path
+        from spinnerf_tpu.data.llff import dilate_mask
+        from spinnerf_tpu.pipeline import mask_refine
+        mask_files = sorted(Path(a.mask_dir).glob("*.png"))
+        masks = []
+        for f in mask_files:
+            m = cv2.imread(str(f), cv2.IMREAD_GRAYSCALE).astype(np.float32)
+            m = (m / max(m.max(), 1) > 0.5).astype(np.float32)
+            if a.dilate_iters:
+                m = dilate_mask(m, iterations=a.dilate_iters)
+            masks.append(m)
+        dumps = mask_refine.load_view_dumps(a.render_dir, masks)
+        intr = np.loadtxt(Path(a.render_dir) / "intrinsics.txt")
+        mask_refine.refine_all(dumps, focal=intr[0, 0], cx=intr[0, 2],
+                               cy=intr[1, 2],
+                               alpha_thresh=a.alpha_thresh,
+                               distance_thresh=a.distance_thresh,
+                               out_dir=a.out_dir,
+                               names=[f.name for f in mask_files])
+        print(f"refined masks written to {a.out_dir}")
+        return 0
+
     if cmd == "eval":
         from spinnerf_tpu.eval.cli import eval_dirs
         return eval_dirs(rest)

@@ -95,6 +95,9 @@ class Config:
     lpips_batch_size: int = 4
 
     # MVSeg
+    mvseg: bool = False               # semantic (multiview-segmentation) mode
+    mask_subdir: str = "label"        # e.g. label_mv_bootstrapped for MVSeg
+    masks_gt_subdir: str | None = None  # e.g. label_full for IoU eval
     clf_weight: float = 0.01
     clf_reg_weight: float = 0.01
     feat_weight: float = 0.01
@@ -119,6 +122,7 @@ class Config:
     debug: bool = False
 
     # TPU-native extras (no reference equivalent)
+    mask_dilate_iters: int = 5        # reference hardcodes 5x5 x5 dilation
     compute_dtype: str = "bfloat16"
     grad_clip: float | None = None
     distortion_weight: float = 0.0

@@ -52,6 +52,8 @@ def exclusive_cumprod_one(x):
 def composite(raw, z_vals, rays_d, *, raw_noise_std: float = 0.0,
               noise_key=None, white_bkgd: bool = False,
               semantic: bool = False, only_object: bool = False,
+              oo_threshold: float | None = None,
+              harsh_bg_remove: bool = False,
               sigma_activation=jax.nn.relu) -> RenderOutputs:
     """Alpha-composite raw field outputs along each ray.
 
@@ -69,9 +71,14 @@ def composite(raw, z_vals, rays_d, *, raw_noise_std: float = 0.0,
       white_bkgd: composite onto white.
       semantic: composite channel 4 into a prob map (weights stop-gradiented so
         segmentation gradients do not move geometry).
-      only_object: suppress non-object density — alpha is multiplied by
-        sigmoid(logit) so only the selected object survives (the complement of
-        the reference's object-removal mode, `MVSeg/DS_NeRF/run_nerf_helpers.py:385-400`).
+      only_object: the reference's object-REMOVAL render mode
+        (`MVSeg/DS_NeRF/run_nerf_helpers.py:384-397`): alpha is multiplied by
+        (1 - sigmoid(logit)), deleting density classified as object.
+      oo_threshold: with only_object, zero alphas above this threshold and
+        smooth alpha 5x with a 3-tap mean along the ray (the reference's
+        hole-cleanup heuristic, `:389-397`).
+      harsh_bg_remove: subtract 10 * (1 - acc) from the prob map so empty rays
+        classify strongly as background (`:410-412`).
     """
     dists = z_vals[..., 1:] - z_vals[..., :-1]
     dists = jnp.concatenate(
@@ -93,7 +100,13 @@ def composite(raw, z_vals, rays_d, *, raw_noise_std: float = 0.0,
     if only_object:
         if logits is None:
             raise ValueError("only_object requires a semantic channel")
-        alpha = alpha * jax.nn.sigmoid(logits)
+        alpha = alpha * (1.0 - jax.nn.sigmoid(logits))
+        if oo_threshold is not None:
+            alpha = jnp.where(alpha > oo_threshold, 0.0, alpha)
+            for _ in range(5):
+                left = jnp.pad(alpha[:, 1:], ((0, 0), (0, 1)))
+                right = jnp.pad(alpha[:, :-1], ((0, 0), (1, 0)))
+                alpha = (left + alpha + right) / 3.0
 
     weights = alpha * exclusive_cumprod_one(1.0 - alpha + 1e-10)
     weights_sg = jax.lax.stop_gradient(weights)
@@ -114,6 +127,8 @@ def composite(raw, z_vals, rays_d, *, raw_noise_std: float = 0.0,
         if logits is None:
             raise ValueError("semantic=True requires raw channel count >= 5")
         prob = jnp.sum(weights_sg * logits, axis=-1)
+        if harsh_bg_remove:
+            prob = prob - 10.0 * (1.0 - acc_map)
 
     return RenderOutputs(rgb=rgb_map, rgb_sg=rgb_map_sg, disp=disp_map,
                          acc=acc_map, depth=depth_map, weights=weights,
@@ -130,6 +145,8 @@ class RenderConfig(NamedTuple):
     white_bkgd: bool = False
     semantic: bool = False
     only_object: bool = False
+    oo_threshold: float | None = None
+    harsh_bg_remove: bool = False
 
 
 class RenderResult(NamedTuple):
@@ -161,7 +178,9 @@ def render_rays(key, ray_batch: dict, field_fn: FieldFn, cfg: RenderConfig,
     raw = field_fn(pts, viewdirs)
     coarse = composite(raw, z_vals, dirs, raw_noise_std=cfg.raw_noise_std,
                        noise_key=k_noise_c, white_bkgd=cfg.white_bkgd,
-                       semantic=cfg.semantic, only_object=cfg.only_object)
+                       semantic=cfg.semantic, only_object=cfg.only_object,
+                       oo_threshold=cfg.oo_threshold,
+                       harsh_bg_remove=cfg.harsh_bg_remove)
 
     if cfg.n_importance <= 0:
         return RenderResult(coarse=None, fine=coarse, z_std=None)
@@ -174,7 +193,8 @@ def render_rays(key, ray_batch: dict, field_fn: FieldFn, cfg: RenderConfig,
     fine = composite(raw_fine, z_combined, dirs,
                      raw_noise_std=cfg.raw_noise_std, noise_key=k_noise_f,
                      white_bkgd=cfg.white_bkgd, semantic=cfg.semantic,
-                     only_object=cfg.only_object)
+                     only_object=cfg.only_object, oo_threshold=cfg.oo_threshold,
+                     harsh_bg_remove=cfg.harsh_bg_remove)
     z_std = jnp.std(z_samples, axis=-1)
     return RenderResult(coarse=coarse, fine=fine, z_std=z_std)
 

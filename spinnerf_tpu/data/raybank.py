@@ -89,7 +89,8 @@ def _pad_idx(idx: np.ndarray, multiple: int = 1024):
 def build_raybank(scene, i_train, *, depth_list=None, prepare: bool = False,
                   train_gt: bool = False, ndc: bool = False,
                   near: float | None = None, far: float | None = None,
-                  filter_depth_by_mask: bool = True) -> RayBank:
+                  filter_depth_by_mask: bool = True,
+                  semantic: bool = False) -> RayBank:
     """Assemble a RayBank from a loaded `llff.Scene`.
 
     Args:
@@ -120,15 +121,22 @@ def build_raybank(scene, i_train, *, depth_list=None, prepare: bool = False,
     flat_labels = labels.reshape(-1)
 
     groups = {}
-    if prepare or train_gt:
-        rgb_idx = all_idx
-        clf_idx = all_idx
+    if semantic:
+        # MVSeg mode (`MVSeg/DS_NeRF/run_nerf.py:1279-1318`): the rgb group is
+        # every pixel; the seg group is pixels of views that HAVE a mask
+        # (label >= 0), supervised with BCE on the composited logit.
+        group_idx = (("rgb", all_idx), ("clf", all_idx),
+                     ("seg", all_idx[flat_labels >= 0]),
+                     ("inp", all_idx[flat_labels != 0]))
+    elif prepare or train_gt:
+        group_idx = (("rgb", all_idx), ("clf", all_idx),
+                     ("inp", all_idx[flat_labels != 0]))
     else:
-        rgb_idx = all_idx[flat_labels == 1]
-        clf_idx = all_idx[flat_labels == 0]
-    inp_idx = all_idx[flat_labels != 0]
+        group_idx = (("rgb", all_idx[flat_labels == 1]),
+                     ("clf", all_idx[flat_labels == 0]),
+                     ("inp", all_idx[flat_labels != 0]))
 
-    for name, idx in (("rgb", rgb_idx), ("clf", clf_idx), ("inp", inp_idx)):
+    for name, idx in group_idx:
         padded, count = _pad_idx(idx)
         groups[name] = RayGroup(idx=jnp.asarray(padded), count=count)
 

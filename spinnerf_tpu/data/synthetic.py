@@ -96,8 +96,16 @@ def render_view(c2w, h, w, focal, with_ball=True):
 
 def make_scene(out_dir, *, n_views: int = 10, h: int = 80, w: int = 100,
                focal: float | None = None, factor: int = 1,
-               n_points: int = 600, seed: int = 0):
-    """Generate and write the scene. Returns the scene dir Path."""
+               n_points: int = 600, seed: int = 0,
+               mask_views=None, gt_mask_subdir: str | None = None):
+    """Generate and write the scene. Returns the scene dir Path.
+
+    Args:
+      mask_views: if given, only these view indices get a `label/` mask —
+        the MVSeg bootstrap setting (sparse initial masks to be lifted).
+      gt_mask_subdir: additionally write ALL views' exact object masks into
+        this subdir (e.g. "label_full") for IoU evaluation.
+    """
     import cv2
     rng = np.random.RandomState(seed)
     out = Path(out_dir)
@@ -137,8 +145,13 @@ def make_scene(out_dir, *, n_views: int = 10, h: int = 80, w: int = 100,
         cv2.imwrite(str(lama_dir / name),
                     cv2.cvtColor((rgb_nb * 255).astype(np.uint8),
                                  cv2.COLOR_RGB2BGR))
-        cv2.imwrite(str(label_dir / name),
-                    (hit_f * 255).astype(np.uint8))
+        if mask_views is None or v in mask_views:
+            cv2.imwrite(str(label_dir / name),
+                        (hit_f * 255).astype(np.uint8))
+        if gt_mask_subdir is not None:
+            gt_dir = fdir / gt_mask_subdir
+            gt_dir.mkdir(exist_ok=True)
+            cv2.imwrite(str(gt_dir / name), (hit_f * 255).astype(np.uint8))
         # "inpainted disparity": 1/z of the no-ball world, normalized
         disp = 1.0 / np.clip(t_nb, 1e-3, None)
         disp = disp / disp.max()

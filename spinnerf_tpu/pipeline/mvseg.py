@@ -1,0 +1,123 @@
+"""MVSeg stage: lift sparse 2D object masks to view-consistent 3D masks.
+
+The reference runs a forked semantic NeRF program (`MVSeg/DS_NeRF/run_nerf.py`)
+whose render modes produce per-view masks:
+  render_mask  : binary sigmoid(prob) > 0.5 images (`run_nerf.py:155-307`)
+  post_opening : 3x3 morphological opening cleanup (`--post_opening`)
+  mask_filter  : white-out everything outside the object
+  only_object  : delete the object and composite a random background
+  IoU/Acc eval : rendered mask vs GT (`run_nerf.py:1409-1423`)
+
+Here the same trainer handles it (Config.mvseg=True gives the field a
+semantic head and the fused step a BCE term); this module adds the mask
+rendering/eval/export products.
+"""
+from __future__ import annotations
+
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spinnerf_tpu.eval import metrics as eval_metrics
+from spinnerf_tpu.eval import render as eval_render
+
+
+def post_opening(mask: np.ndarray, kernel: int = 3) -> np.ndarray:
+    """cv2 MORPH_OPEN with a kxk kernel (`MVSeg/DS_NeRF/run_nerf.py:221`)."""
+    import cv2
+    return cv2.morphologyEx(mask.astype(np.uint8), cv2.MORPH_OPEN,
+                            np.ones((kernel, kernel), np.uint8))
+
+
+def render_masks(trainer, poses, *, threshold: float = 0.5,
+                 opening: bool = False, render_factor: int = 0):
+    """Render binary object masks for a pose list via the semantic head.
+
+    Returns masks [M, H, W] float 0/1.
+    """
+    cfg = trainer.cfg
+    coarse_fn, fine_fn = trainer.field_fns()
+    rcfg = trainer.tcfg.render._replace(perturb=False, raw_noise_std=0.0,
+                                        semantic=True)
+    out = []
+    for i, c2w in enumerate(poses):
+        maps = eval_render.render_frame(
+            jax.random.PRNGKey(i), jnp.asarray(c2w), trainer.scene.hwf,
+            coarse_fn, rcfg, near=trainer.bank.near, far=trainer.bank.far,
+            ndc=trainer.bank.ndc, chunk=cfg.chunk, fine_field_fn=fine_fn,
+            render_factor=render_factor)
+        logit_thresh = np.log(threshold / (1.0 - threshold))
+        m = (maps["prob"] > logit_thresh).astype(np.float32)
+        if opening:
+            m = post_opening(m).astype(np.float32)
+        out.append(m)
+    return np.stack(out)
+
+
+def evaluate_masks(pred_masks, gt_masks):
+    """Mean pixel accuracy and IoU over views (MVSeg's printed metrics)."""
+    accs, ious = [], []
+    for p, g in zip(pred_masks, gt_masks):
+        if g.min() < 0:       # view without GT
+            continue
+        m = eval_metrics.mask_metrics(jnp.asarray(p), jnp.asarray(g))
+        accs.append(float(m["accuracy"]))
+        ious.append(float(m["iou"]))
+    return {"accuracy": float(np.mean(accs)) if accs else float("nan"),
+            "iou": float(np.mean(ious)) if ious else float("nan")}
+
+
+def export_masks(trainer, out_subdir: str = "label", *, opening: bool = True,
+                 dilate_iterations: int = 0):
+    """Render masks for every scene view and write them into the dataset
+    layout (`images_<f>/<out_subdir>/<name>.png`) — the product the
+    downstream DS-NeRF stages consume as `label/`.
+    """
+    import cv2
+    cfg = trainer.cfg
+    scene_dir = Path(cfg.datadir)
+    factor = cfg.factor
+    img_dir = scene_dir / (f"images_{factor}" if factor and factor != 1
+                           else "images")
+    out_dir = img_dir / out_subdir
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    masks = render_masks(trainer, trainer.scene.poses, opening=opening)
+    names = sorted(p.stem for p in img_dir.iterdir()
+                   if p.suffix.lower() in (".png", ".jpg", ".jpeg"))
+    if dilate_iterations > 0:
+        from spinnerf_tpu.data.llff import dilate_mask
+        masks = np.stack([dilate_mask(m, iterations=dilate_iterations)
+                          for m in masks])
+    for name, m in zip(names, masks):
+        cv2.imwrite(str(out_dir / f"{name}.png"),
+                    (np.clip(m, 0, 1) * 255).astype(np.uint8))
+    return out_dir, masks
+
+
+def render_object_removed(trainer, poses, *, bg_key=None,
+                          render_factor: int = 0, threshold=None):
+    """only_object render: delete the object, optionally compositing leftover
+    transparency onto a random background (the MVSeg object-removal preview).
+    """
+    cfg = trainer.cfg
+    coarse_fn, fine_fn = trainer.field_fns()
+    rcfg = trainer.tcfg.render._replace(
+        perturb=False, raw_noise_std=0.0, semantic=True, only_object=True,
+        oo_threshold=threshold)
+    rgbs = []
+    for i, c2w in enumerate(poses):
+        maps = eval_render.render_frame(
+            jax.random.PRNGKey(i), jnp.asarray(c2w), trainer.scene.hwf,
+            coarse_fn, rcfg, near=trainer.bank.near, far=trainer.bank.far,
+            ndc=trainer.bank.ndc, chunk=cfg.chunk, fine_field_fn=fine_fn,
+            render_factor=render_factor)
+        rgb = maps["rgb"]
+        if bg_key is not None:
+            bg = np.asarray(jax.random.uniform(
+                jax.random.fold_in(bg_key, i), (3,)))
+            rgb = rgb + (1.0 - maps["acc"][..., None]) * bg
+        rgbs.append(rgb)
+    return np.stack(rgbs)

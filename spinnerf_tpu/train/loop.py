@@ -58,6 +58,8 @@ def render_config(cfg: Config, *, train: bool) -> RenderConfig:
         lindisp=cfg.lindisp,
         raw_noise_std=cfg.raw_noise_std if train else 0.0,
         white_bkgd=cfg.white_bkgd,
+        semantic=cfg.mvseg,
+        only_object=cfg.object_removal and not train,
     )
 
 
@@ -77,6 +79,8 @@ def train_config(cfg: Config) -> TrainConfig:
         normalize_depth=cfg.normalize_depth,
         sigma_loss=cfg.sigma_loss,
         sigma_lambda=cfg.sigma_lambda,
+        semantic=cfg.mvseg,
+        clf_weight=cfg.clf_weight,
         distortion_weight=cfg.distortion_weight,
         lrate=cfg.lrate,
         lrate_decay=cfg.lrate_decay,
@@ -98,7 +102,10 @@ class Trainer:
         # --- data ---
         self.scene = scene if scene is not None else llff.load_scene(
             cfg.datadir, factor=cfg.factor, prepare=cfg.prepare,
-            spherify=cfg.spherify, lpips_mode=cfg.lpips)
+            spherify=cfg.spherify, lpips_mode=cfg.lpips,
+            mask_subdir=cfg.mask_subdir,
+            masks_gt_subdir=cfg.masks_gt_subdir,
+            dilate_iterations=cfg.mask_dilate_iters)
         self.i_train, self.i_test = llff.train_test_split(
             len(self.scene.images), n_gt=cfg.N_gt, train_gt=cfg.train_gt,
             llffhold=0 if cfg.llffhold >= 1000000 else cfg.llffhold,
@@ -111,11 +118,12 @@ class Trainer:
                 bd_scale=self.scene.scale)
         self.bank = raybank.build_raybank(
             self.scene, self.i_train, depth_list=depth_list,
-            prepare=cfg.prepare, train_gt=cfg.train_gt, ndc=cfg.ndc
+            prepare=cfg.prepare, train_gt=cfg.train_gt,
+            semantic=cfg.mvseg, ndc=cfg.ndc
             if cfg.dataset_type == "llff" and not cfg.no_ndc else False)
 
         # --- model + step ---
-        self.model = build_model(cfg)
+        self.model = build_model(cfg, semantic=cfg.mvseg)
         self.tcfg = train_config(cfg)
         self.tx = schedule.make_optimizer(cfg.lrate, cfg.lrate_decay,
                                           cfg.grad_clip)

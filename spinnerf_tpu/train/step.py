@@ -54,6 +54,8 @@ class TrainConfig(NamedTuple):
     normalize_depth: bool = False
     sigma_loss: bool = False
     sigma_lambda: float = 0.1
+    semantic: bool = False              # MVSeg mode: BCE on composited logits
+    clf_weight: float = 0.01
     distortion_weight: float = 0.0      # TPU extra: mip-360 regularizer
     lrate: float = 5e-4
     lrate_decay: float = 250.0
@@ -63,6 +65,13 @@ class TrainConfig(NamedTuple):
 
 def _active_groups(cfg: TrainConfig, bank: raybank.RayBank):
     """Which pixel groups participate this run (static decision)."""
+    if cfg.semantic:
+        # MVSeg: one all-pixel RGB group + the BCE segmentation group
+        # (`MVSeg/DS_NeRF/run_nerf.py:1279-1318`)
+        groups = ["rgb"]
+        if bank.groups.get("seg") is not None and bank.groups["seg"].count > 0:
+            groups.append("seg")
+        return groups
     groups = ["clf"]
     if not cfg.masked_nerf or cfg.object_removal:
         groups.append("rgb")
@@ -143,8 +152,9 @@ def make_train_step(model, cfg: TrainConfig, bank: raybank.RayBank,
 
         gi = {name: i for i, name in enumerate(groups)}
 
-        # --- clf: MSE outside the mask ---
-        i = gi["clf"]
+        # --- primary photometric group: 'clf' (outside-mask pixels) in the
+        # DS-NeRF modes, 'rgb' (all pixels) in MVSeg mode ---
+        i = gi["clf"] if "clf" in gi else gi["rgb"]
         tgt = targets[i]["rgb"]
         img_loss = losses.mse(seg(fine.rgb, i), tgt)
         metrics["psnr"] = losses.mse_to_psnr(img_loss)
@@ -153,8 +163,19 @@ def make_train_step(model, cfg: TrainConfig, bank: raybank.RayBank,
         loss = loss + img_loss
         metrics["img_loss"] = img_loss
 
+        # --- seg: MVSeg BCE on composited logits ---
+        if "seg" in gi:
+            i = gi["seg"]
+            lbl = jnp.clip(targets[i]["label"], 0.0, 1.0)
+            clf_loss = losses.bce_with_logits(seg(fine.prob, i), lbl)
+            if cfg.use_coarse_loss and coarse is not None:
+                clf_loss = clf_loss + losses.bce_with_logits(
+                    seg(coarse.prob, i), lbl)
+            loss = loss + cfg.clf_weight * clf_loss
+            metrics["clf_loss"] = clf_loss
+
         # --- rgb ("complete"): masked supervision / object removal ---
-        if "rgb" in gi:
+        if "rgb" in gi and not cfg.semantic:
             i = gi["rgb"]
             if cfg.object_removal:
                 acc_term = 0.001 * jnp.mean(seg(fine.acc, i))

@@ -8,6 +8,10 @@ import os
 # Force-override: the session environment pins JAX_PLATFORMS to the TPU
 # platform; tests must run on virtual CPU devices regardless.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Keep test processes off the TPU relay entirely (sitecustomize registers the
+# TPU plugin whenever PALLAS_AXON_POOL_IPS is set, which can disturb a
+# concurrently running TPU job).
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -86,12 +86,32 @@ def test_semantic_prob_map_gradients(rng):
     assert np.abs(g[..., 4]).max() > 0
 
 
-def test_only_object_suppresses_background(rng):
+def test_only_object_removes_object_density(rng):
+    """only_object is the object-REMOVAL mode: alpha *= (1 - sigmoid(logit)),
+    so samples classified as object (logit >> 0) contribute nothing."""
     raw, z_vals, rays_d = make_inputs(rng, C=5)
-    raw[..., 4] = -100.0  # nothing is "object"
+    raw[..., 4] = 100.0  # everything is "object" -> fully removed
     out = rendering.composite(jnp.asarray(raw), jnp.asarray(z_vals),
                               jnp.asarray(rays_d), only_object=True)
     np.testing.assert_allclose(np.asarray(out.acc), 0.0, atol=1e-5)
+
+    raw[..., 4] = -100.0  # nothing is "object" -> unchanged render
+    out_oo = rendering.composite(jnp.asarray(raw), jnp.asarray(z_vals),
+                                 jnp.asarray(rays_d), only_object=True)
+    out_plain = rendering.composite(jnp.asarray(raw[..., :4]),
+                                    jnp.asarray(z_vals), jnp.asarray(rays_d))
+    np.testing.assert_allclose(np.asarray(out_oo.rgb),
+                               np.asarray(out_plain.rgb), atol=1e-5)
+
+
+def test_harsh_bg_remove_pushes_empty_rays_negative(rng):
+    raw, z_vals, rays_d = make_inputs(rng, C=5)
+    raw[..., 3] = -100.0  # empty space
+    raw[..., 4] = 0.0
+    out = rendering.composite(jnp.asarray(raw), jnp.asarray(z_vals),
+                              jnp.asarray(rays_d), semantic=True,
+                              harsh_bg_remove=True)
+    assert (np.asarray(out.prob) < -9).all()
 
 
 def constant_field(rgb_logit=0.0, sigma=50.0, channels=4):
