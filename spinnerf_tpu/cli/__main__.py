@@ -134,14 +134,10 @@ def main(argv=None):
         return eval_dirs(rest)
 
     if cmd == "poses":
-        import numpy as np
-        from pathlib import Path
-
-        from spinnerf_tpu.data import colmap
-        scene = Path(rest[0])
-        arr, names = colmap.poses_bounds_from_model(scene / "sparse" / "0")
-        np.save(scene / "poses_bounds.npy", arr)
-        print(f"wrote poses_bounds.npy for {len(names)} views")
+        from spinnerf_tpu.pipeline.poses import gen_poses
+        match = rest[1] if len(rest) > 1 else "exhaustive_matcher"
+        gen_poses(rest[0], match_type=match)
+        print(f"poses_bounds.npy written for {rest[0]}")
         return 0
 
     if cmd == "synth":

@@ -320,10 +320,10 @@ def poses_bounds_from_model(sparse_dir, perc=(0.1, 99.9)):
         im = images[iid]
         c2w = im.cam_to_world()
         f, h, w = focal_hw[im.camera_id]
-        # [r, -u, t] world-frame columns -> LLFF's [-u, r, -t]... LLFF stores
-        # [down, right, backwards]: columns (−y, x, z) of the COLMAP c2w.
+        # LLFF stores [down, right, backward | t | hwf]. COLMAP's camera c2w
+        # columns are (right, down, forward), so down = +y, backward = -z.
         m = np.concatenate(
-            [-c2w[:3, 1:2], c2w[:3, 0:1], c2w[:3, 2:3], c2w[:3, 3:4],
+            [c2w[:3, 1:2], c2w[:3, 0:1], -c2w[:3, 2:3], c2w[:3, 3:4],
              np.array([[h], [w], [f]])], axis=1)
         # z-depths of this view's triangulated points
         w2c = im.world_to_cam()

@@ -37,6 +37,40 @@ def reflect_pad(x, pad: int):
     return jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
 
 
+# --- real FFTs via complex FFTs ---------------------------------------------
+# The axon TPU backend reliably lowers C2C fft/ifft but the VJPs of
+# rfft2/irfft2 (R2C/C2R adjoints) hit flaky UNIMPLEMENTED errors. These
+# helpers compute the identical half-spectrum values through full complex
+# FFTs (whose adjoints are again complex FFTs), trading 2x FFT flops for a
+# dependable gradient path. Axes are (1, 2) of an NHWC array.
+
+def rfft2_via_c2c(x, norm="ortho"):
+    """== jnp.fft.rfft2(x, axes=(1,2), norm=norm) for real x [N,H,W,C]."""
+    w = x.shape[2]
+    f = jnp.fft.fft2(jax.lax.complex(x, jnp.zeros_like(x)), axes=(1, 2),
+                     norm=norm)
+    return f[:, :, : w // 2 + 1]
+
+
+def irfft2_via_c2c(hspec, s, norm="ortho"):
+    """== jnp.fft.irfft2(hspec, s=s, axes=(1,2), norm=norm).
+
+    Rebuilds the full Hermitian spectrum from the half spectrum, runs a
+    complex ifft2, and returns the real part.
+    """
+    h, w = s
+    wf = w // 2 + 1
+    # columns to mirror: j = 1 .. w-wf  (excludes DC; excludes Nyquist when
+    # w is even because w-wf = w/2-1 then)
+    body = hspec[:, :, 1: w - wf + 1]
+    mirror = jnp.conj(body[:, :, ::-1])          # col j -> w - j
+    # row i -> (h - i) % h: reverse rows then rotate by one
+    mirror = jnp.roll(mirror[:, ::-1, :], 1, axis=1)
+    full = jnp.concatenate([hspec, mirror], axis=2)
+    out = jnp.fft.ifft2(full, axes=(1, 2), norm=norm)
+    return out.real
+
+
 class ConvBNAct(nn.Module):
     """Conv (reflect padding) -> BatchNorm -> activation."""
     features: int
@@ -74,7 +108,7 @@ class FourierUnit(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         n, h, w, c = x.shape
-        f = jnp.fft.rfft2(x.astype(jnp.float32), axes=(1, 2),
+        f = rfft2_via_c2c(x.astype(jnp.float32),
                           norm=self.fft_norm)           # [N, H, Wf, C] complex
         f = jnp.stack([f.real, f.imag], axis=-1)        # [N, H, Wf, C, 2]
         f = f.reshape(n, h, w // 2 + 1, 2 * c)          # interleaved re/im
@@ -84,7 +118,7 @@ class FourierUnit(nn.Module):
         f = nn.relu(f)
         f = f.reshape(n, h, w // 2 + 1, self.features, 2)
         comp = jax.lax.complex(f[..., 0], f[..., 1])
-        out = jnp.fft.irfft2(comp, s=(h, w), axes=(1, 2), norm=self.fft_norm)
+        out = irfft2_via_c2c(comp, s=(h, w), norm=self.fft_norm)
         return out.astype(x.dtype)
 
 

@@ -68,3 +68,26 @@ def test_dense_array_roundtrip(tmp_path, rng):
     colmap.write_dense_array(arr, tmp_path / "d.bin")
     got = colmap.read_dense_array(tmp_path / "d.bin")
     np.testing.assert_allclose(got, arr)
+
+
+def test_poses_bounds_from_model_roundtrip(tmp_path):
+    """Deleting poses_bounds.npy and regenerating it from the COLMAP model
+    must reproduce the same cameras (up to the shared world transform)."""
+    from spinnerf_tpu.data import synthetic, llff
+    from spinnerf_tpu.pipeline.poses import gen_poses
+
+    scene_dir = synthetic.make_scene(tmp_path / "s", n_views=5, h=40, w=50)
+    orig = np.load(scene_dir / "poses_bounds.npy")
+    (scene_dir / "poses_bounds.npy").unlink()
+    gen_poses(scene_dir)
+    regen = np.load(scene_dir / "poses_bounds.npy")
+    assert regen.shape == orig.shape
+
+    # camera orientations/centers identical (bounds differ slightly: the
+    # generator uses the full depth map, the exporter the sparse points)
+    po = orig[:, :-2].reshape(-1, 3, 5)
+    pr = regen[:, :-2].reshape(-1, 3, 5)
+    np.testing.assert_allclose(pr[:, :, :4], po[:, :, :4], atol=1e-5)
+    lo, hi = orig[:, -2:].T
+    lo2, hi2 = regen[:, -2:].T
+    assert (lo2 > lo * 0.8).all() and (hi2 < hi * 1.3).all()
