@@ -36,6 +36,35 @@ def main(argv=None):
         cfg.no_reload = False
         tr = Trainer(cfg)
         start = tr.state.step
+        if cfg.render_test_ray:
+            # sigma-vs-depth visualization along the first train view's
+            # sparse-depth rays (`run_nerf.py:1190-1207`)
+            import jax
+            import jax.numpy as jnp
+            import numpy as np
+            from spinnerf_tpu.core import rendering, sampling
+            from spinnerf_tpu.data import raybank as rb
+            from spinnerf_tpu.utils.visualization import visualize_sigma
+            out = tr.exp_dir / f"renderonly_ray_{start:06d}"
+            out.mkdir(parents=True, exist_ok=True)
+            batch = rb.sample_depth_group(jax.random.PRNGKey(0), tr.bank, 64)
+            coarse_fn, fine_fn = tr.field_fns()
+            rcfg = tr.tcfg.render._replace(perturb=False, raw_noise_std=0.0)
+            z = sampling.stratified_z_vals(jax.random.PRNGKey(0),
+                                           batch["near"], batch["far"],
+                                           rcfg.n_samples, perturb=False,
+                                           lindisp=rcfg.lindisp)
+            pts = sampling.ray_points(batch["origins"], batch["directions"], z)
+            raw = fine_fn(pts, batch["viewdirs"])
+            sigma = jax.nn.relu(raw[..., 3])
+            visualize_sigma(np.asarray(sigma[0]), np.asarray(z[0]),
+                            out / "rays.png")
+            res = rendering.render_rays(jax.random.PRNGKey(0), batch,
+                                        coarse_fn, rcfg, fine_field_fn=fine_fn)
+            print("colmap depth:", float(batch["depths"][0]))
+            print("estimated depth:", float(res.fine.depth[0]))
+            print(f"sigma plot written to {out}/rays.png")
+            return 0
         if cfg.render_test:
             poses, name = tr.scene.poses[tr.i_test], "test"
             gt = tr.scene.images[tr.i_test]

@@ -268,3 +268,37 @@ def frame_ray_batch(bank_or_hwf, c2w, near, far, ndc: bool = False,
         rays_o, rays_d = ray_lib.ndc_rays(h, w, focal, 1.0, rays_o, rays_d)
     return ray_lib.make_ray_batch(rays_o, rays_d, near, far,
                                   viewdirs=viewdirs), (h, w)
+
+
+def sample_single_image(key, bank: RayBank, batch_size: int, step_idx,
+                        *, precrop_iters: int = 0, precrop_frac: float = 0.5):
+    """The reference's `--no_batching` sampler (`run_nerf.py:1415-1452`):
+    all rays of one random training view, with a centered crop for the first
+    `precrop_iters` steps. Fully in-jit; `step_idx` may be traced.
+    """
+    h, w, focal = bank.hwf
+    k_view, k_row, k_col = jax.random.split(key, 3)
+    n_views = bank.poses.shape[0]
+    view = jax.random.randint(k_view, (), 0, n_views)
+
+    use_crop = step_idx < precrop_iters if precrop_iters > 0 else False
+    dh = jnp.where(use_crop, int(h // 2 * precrop_frac), h // 2)
+    dw = jnp.where(use_crop, int(w // 2 * precrop_frac), w // 2)
+    row = h // 2 + jax.random.randint(k_row, (batch_size,), -dh, dh)
+    col = w // 2 + jax.random.randint(k_col, (batch_size,), -dw, dw)
+    row = jnp.clip(row, 0, h - 1)
+    col = jnp.clip(col, 0, w - 1)
+
+    views = jnp.full((batch_size,), view, jnp.int32)
+    rays_o, rays_d = rays_for_pixels(bank.poses, bank.hwf, views,
+                                     col.astype(jnp.float32),
+                                     row.astype(jnp.float32))
+    viewdirs = None
+    if bank.ndc:
+        viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+        rays_o, rays_d = ray_lib.ndc_rays(h, w, focal, 1.0, rays_o, rays_d)
+    batch = ray_lib.make_ray_batch(rays_o, rays_d, bank.near, bank.far,
+                                   viewdirs=viewdirs)
+    targets = {"rgb": bank.images[views, row, col],
+               "label": bank.labels[views, row, col]}
+    return batch, targets

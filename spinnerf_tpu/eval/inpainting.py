@@ -1,0 +1,118 @@
+"""Inpainting evaluation harness.
+
+Parity: `lama/saicinpainting/evaluation/evaluator.py:16-133` — per-image
+scores grouped into mask-area bins (0-10%, 10-20%, ...), mean/std tables, and
+the `ssim_fid100_f1` integral metric used as the training checkpoint monitor
+(`evaluator.py:112`, trainer yaml:30): the harmonic mean of SSIM and a
+normalized (100-point) Fréchet feature distance.
+
+The Fréchet distance here runs over a pluggable feature extractor. The
+reference uses InceptionV3 pool3 features (FID); this container has no
+pretrained Inception weights, so the default extractor is the (optionally
+pretrained) VGG16 trunk from `models.lpips` with global-average-pooled
+features — the same statistic over a different embedding. Supply real
+weights for paper-exact FID.
+"""
+from __future__ import annotations
+
+from collections import defaultdict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spinnerf_tpu.eval import metrics as m
+
+
+def frechet_distance(feats_a: np.ndarray, feats_b: np.ndarray) -> float:
+    """Fréchet distance between Gaussians fit to two feature sets [N, D]."""
+    import scipy.linalg
+    mu1, mu2 = feats_a.mean(0), feats_b.mean(0)
+    c1 = np.cov(feats_a, rowvar=False)
+    c2 = np.cov(feats_b, rowvar=False)
+    diff = mu1 - mu2
+    covmean, _ = scipy.linalg.sqrtm(c1 @ c2, disp=False)
+    if np.iscomplexobj(covmean):
+        covmean = covmean.real
+    return float(diff @ diff + np.trace(c1) + np.trace(c2)
+                 - 2 * np.trace(covmean))
+
+
+class FeatureExtractor:
+    """Global-average-pooled conv features for Fréchet statistics."""
+
+    def __init__(self, vgg_weights_path=None, seed: int = 0):
+        from spinnerf_tpu.models.lpips import VGG16Features, \
+            load_vgg_params_from_torch
+        self.net = VGG16Features()
+        if vgg_weights_path:
+            self.params = load_vgg_params_from_torch(vgg_weights_path,
+                                                     self.net)
+        else:
+            self.params = self.net.init(jax.random.PRNGKey(seed),
+                                        jnp.zeros((1, 64, 64, 3)))
+        self._apply = jax.jit(lambda p, x: [
+            f.mean(axis=(1, 2)) for f in self.net.apply(p, x)])
+
+    def __call__(self, images: np.ndarray) -> np.ndarray:
+        """images [N, H, W, 3] in [0,1] -> features [N, D]."""
+        feats = self._apply(self.params, jnp.asarray(images))
+        return np.concatenate([np.asarray(f) for f in feats], axis=-1)
+
+
+class InpaintingEvaluator:
+    """Accumulates per-image scores; reports per-mask-area-bin tables."""
+
+    def __init__(self, *, lpips_fn=None, feature_extractor=None,
+                 bin_edges=(0.0, 0.1, 0.2, 0.3, 0.4, 1.01),
+                 integral_fid_norm: float = 100.0):
+        self.lpips_fn = lpips_fn
+        self.features = feature_extractor
+        self.bin_edges = np.asarray(bin_edges)
+        self.integral_fid_norm = integral_fid_norm
+        self.rows = []
+        self._feats_pred = []
+        self._feats_gt = []
+
+    def add(self, pred: np.ndarray, target: np.ndarray, mask: np.ndarray):
+        """pred/target [H, W, 3] in [0,1]; mask [H, W] (1 = hole)."""
+        area = float((mask > 0.5).mean())
+        row = {
+            "mask_area": area,
+            "ssim": float(m.ssim(jnp.asarray(pred), jnp.asarray(target))),
+            "psnr": float(m.psnr(jnp.asarray(pred), jnp.asarray(target))),
+        }
+        if self.lpips_fn is not None:
+            row["lpips"] = float(self.lpips_fn(jnp.asarray(pred),
+                                               jnp.asarray(target)))
+        self.rows.append(row)
+        if self.features is not None:
+            self._feats_pred.append(pred)
+            self._feats_gt.append(target)
+
+    def evaluation_end(self) -> dict:
+        """Mean/std per metric, overall and per mask-area bin, plus fid and
+        the ssim_fid100_f1 integral score when a feature extractor is set."""
+        out = {"total": self._table(self.rows)}
+        for lo, hi in zip(self.bin_edges[:-1], self.bin_edges[1:]):
+            rows = [r for r in self.rows if lo <= r["mask_area"] < hi]
+            if rows:
+                out[f"mask_{lo:.0%}-{hi:.0%}"] = self._table(rows)
+        if self.features is not None and self._feats_pred:
+            fp = self.features(np.stack(self._feats_pred))
+            fg = self.features(np.stack(self._feats_gt))
+            fid = frechet_distance(fp, fg)
+            ssim_mean = out["total"]["ssim"]["mean"]
+            fid_score = max(0.0, 1.0 - fid / self.integral_fid_norm)
+            denom = ssim_mean + fid_score
+            out["total"]["fid"] = fid
+            out["total"]["ssim_fid100_f1"] = (
+                2 * ssim_mean * fid_score / denom if denom > 0 else 0.0)
+        return out
+
+    @staticmethod
+    def _table(rows):
+        keys = [k for k in rows[0] if k != "mask_area"]
+        return {k: {"mean": float(np.mean([r[k] for r in rows])),
+                    "std": float(np.std([r[k] for r in rows]))}
+                for k in keys} | {"n": len(rows)}

@@ -192,11 +192,16 @@ def inpaint_directory(in_dir, out_dir, *, checkpoint_path=None,
     gen, variables = load_generator(checkpoint_path)
 
     images = sorted(p for p in in_dir.iterdir()
-                    if p.suffix.lower() in (".png", ".jpg", ".jpeg"))
+                    if p.suffix.lower() in (".png", ".jpg", ".jpeg")
+                    and not p.stem.endswith("_mask"))
     for p in images:
         img = cv2.cvtColor(cv2.imread(str(p)), cv2.COLOR_BGR2RGB)
         img = img.astype(np.float32) / 255.0
+        # mask layouts: label/<name>.png (SPIn-NeRF staging) or the LaMa
+        # eval-dataset convention <name>_mask.png next to the image
         mp = in_dir / "label" / (p.stem + ".png")
+        if not mp.exists():
+            mp = in_dir / (p.stem + "_mask.png")
         m = cv2.imread(str(mp), cv2.IMREAD_GRAYSCALE)
         if m is None:
             raise FileNotFoundError(mp)

@@ -56,3 +56,21 @@ class CheckpointManager:
 
     def close(self):
         self._mgr.close()
+
+
+def strip_checkpoint(exp_dir, out_dir, *, step=None):
+    """Write a distribution checkpoint containing only the parameters
+    (parity: `lama/bin/make_checkpoint.py` — strip optimizer/training state).
+    Returns (step, out_path)."""
+    import orbax.checkpoint as ocp
+
+    src = CheckpointManager(exp_dir)
+    step, restored = src.restore(step)
+    if step is None:
+        raise FileNotFoundError(f"no checkpoints under {exp_dir}")
+    out = Path(out_dir).resolve()
+    out.mkdir(parents=True, exist_ok=True)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(out / f"params_{step}", restored["params"])
+    ckptr.wait_until_finished()
+    return step, out / f"params_{step}"

@@ -72,6 +72,9 @@ def train_config(cfg: Config) -> TrainConfig:
         object_removal=cfg.object_removal,
         no_geometry=cfg.no_geometry,
         use_coarse_loss=not cfg.no_coarse,
+        single_image=cfg.no_batching,
+        precrop_iters=cfg.precrop_iters,
+        precrop_frac=cfg.precrop_frac,
         depth_supervision=cfg.colmap_depth and cfg.depth_loss,
         depth_lambda=cfg.depth_lambda,
         weighted_loss=cfg.weighted_loss,
@@ -113,7 +116,8 @@ class Trainer:
 
         depth_list = None
         if cfg.colmap_depth:
-            depth_list = colmap.sparse_depth_for_views(
+            from spinnerf_tpu.data import colmap_fast
+            depth_list = colmap_fast.sparse_depth_for_views(
                 Path(cfg.datadir) / "sparse" / "0", factor=cfg.factor,
                 bd_scale=self.scene.scale)
         self.bank = raybank.build_raybank(
@@ -140,9 +144,24 @@ class Trainer:
                 lpips_render_factor=cfg.lpips_render_factor,
                 patch_len_factor=cfg.patch_len_factor,
                 batch_size=cfg.lpips_batch_size)
+        frozen_raw_fn = None
+        if cfg.alpha_model_path:
+            # NeRF_RGB mode: density comes, gradient-free, from a frozen
+            # pretrained model (`--alpha_model_path`)
+            frozen_ckpt = checkpoints.CheckpointManager(cfg.alpha_model_path)
+            _, frozen = frozen_ckpt.restore()
+            if frozen is None:
+                raise FileNotFoundError(
+                    f"no checkpoint under {cfg.alpha_model_path}")
+            fparams = frozen["params"]
+            fkey = "fine" if "fine" in fparams else "coarse"
+
+            def frozen_raw_fn(pts, vd, _p=fparams[fkey]):
+                return self.model.apply(_p, pts, vd)
         self.step_fn = make_train_step(self.model, self.tcfg, self.bank,
                                        self.tx, mesh=self.mesh,
-                                       lpips_fn=lpips_fn)
+                                       lpips_fn=lpips_fn,
+                                       frozen_raw_fn=frozen_raw_fn)
 
         key = jax.random.PRNGKey(cfg.seed)
         self.key, k_init = jax.random.split(key)
@@ -233,6 +252,21 @@ class Trainer:
         self.log(f"[{step}] wrote LaMa guidance inputs to {out}")
         return out
 
+    def _sanity_panel_hook(self, step):
+        """3-panel render/prior/disparity debug image (`run_nerf.py:1581-1597`),
+        written under <expdir>/test_renders/."""
+        from spinnerf_tpu.utils.visualization import sanity_panel
+        import numpy as np
+        idx = int(np.random.RandomState(step).choice(self.i_train))
+        rgbs, disps = self.render_poses_list(self.scene.poses[idx:idx + 1])
+        out = self.exp_dir / "test_renders"
+        out.mkdir(exist_ok=True)
+        prior = (self.scene.inpainted_depths[idx]
+                 if self.scene.inpainted_depths is not None
+                 else np.zeros(self.scene.images[idx].shape[:2]))
+        sanity_panel(rgbs[0], prior, disps[0],
+                     out / f"{self.cfg.expname}_{step:06d}.png")
+
     # --- main loop -----------------------------------------------------------
 
     def fit(self, n_iters: int | None = None, *, hooks: bool = True):
@@ -241,6 +275,10 @@ class Trainer:
         state = self.state
         t0 = time.time()
         rays_done = 0
+        control = None
+        if hooks:
+            from spinnerf_tpu.utils.live_control import LiveControl
+            control = LiveControl(cfg, log=self.log)
         for i in range(state.step + 1, n_iters + 1):
             self.key, k = jax.random.split(self.key)
             state.params, state.opt_state, metrics = self.step_fn(
@@ -249,6 +287,8 @@ class Trainer:
             rays_done += self.tcfg.n_rand * (len(self.bank.groups) + 1)
 
             if hooks:
+                if control is not None and i % cfg.i_print == 0:
+                    control.poll()
                 if i % cfg.i_print == 0:
                     m = {k_: float(v) for k_, v in metrics.items()}
                     dt = time.time() - t0
@@ -263,6 +303,9 @@ class Trainer:
                 if (cfg.prepare and cfg.i_feat and i % cfg.i_feat == 0
                         and i == n_iters - 1):
                     self._prepare_hook(i)
+                elif (not cfg.prepare and cfg.i_feat > 10
+                        and i % cfg.i_feat == 0 and i > 0):
+                    self._sanity_panel_hook(i)
         self.state = state
         if hooks:
             self.ckpt.wait()   # drain async orbax writes before returning

@@ -47,6 +47,9 @@ class TrainConfig(NamedTuple):
     object_removal: bool = False
     no_geometry: bool = False
     use_coarse_loss: bool = True        # reference: not --no_coarse
+    single_image: bool = False          # reference --no_batching sampler
+    precrop_iters: int = 0
+    precrop_frac: float = 0.5
     depth_supervision: bool = False     # --colmap_depth --depth_loss
     depth_lambda: float = 0.1
     weighted_loss: bool = False
@@ -91,7 +94,8 @@ def _concat_batches(batches: list[dict]) -> dict:
 
 def make_train_step(model, cfg: TrainConfig, bank: raybank.RayBank,
                     tx: optax.GradientTransformation,
-                    mesh=None, lpips_fn: Callable | None = None):
+                    mesh=None, lpips_fn: Callable | None = None,
+                    frozen_raw_fn: Callable | None = None):
     """Build the jitted train step.
 
     Args:
@@ -102,6 +106,9 @@ def make_train_step(model, cfg: TrainConfig, bank: raybank.RayBank,
       mesh: optional `jax.sharding.Mesh` for ray-batch data parallelism.
       lpips_fn: optional callable(params, key) -> scalar patch-LPIPS loss,
         traced into the same step when given.
+      frozen_raw_fn: optional frozen field `(pts, vd) -> raw`; its density
+        (stop-gradiented) replaces the trained field's sigma — the NeRF_RGB /
+        --alpha_model_path mode (`run_nerf_helpers.py:159-216`).
 
     Returns:
       step(params, opt_state, key, step_idx) -> (params, opt_state, metrics)
@@ -112,13 +119,19 @@ def make_train_step(model, cfg: TrainConfig, bank: raybank.RayBank,
     b = cfg.n_rand
     rcfg = cfg.render
 
+    def _raw(p, pts, vd):
+        if frozen_raw_fn is None:
+            return model.apply(p, pts, vd)
+        frozen = jax.lax.stop_gradient(frozen_raw_fn(pts, vd)[..., 3:4])
+        return model.apply(p, pts, vd, frozen_sigma=frozen)
+
     def _apply(p, pts, vd):
         c = cfg.remat_chunks
         # engage only when chunks stay big enough to fill the MXU; tiny
         # scan-of-remat graphs are slower and have crashed XLA:CPU
         if c <= 1 or pts.shape[0] % c != 0 or pts.shape[0] // c < 64:
-            return model.apply(p, pts, vd)
-        ck = jax.checkpoint(lambda p_, x, d: model.apply(p_, x, d))
+            return _raw(p, pts, vd)
+        ck = jax.checkpoint(lambda p_, x, d: _raw(p_, x, d))
         b = pts.shape[0]
         xs = pts.reshape(c, b // c, *pts.shape[1:])
         ds = vd.reshape(c, b // c, vd.shape[-1])
@@ -142,7 +155,13 @@ def make_train_step(model, cfg: TrainConfig, bank: raybank.RayBank,
 
         batches, targets = [], []
         for k_g, name in zip(keys, groups):
-            ba, tg = raybank.sample_group(k_g, bank, name, b)
+            if cfg.single_image and name in ("clf", "rgb"):
+                ba, tg = raybank.sample_single_image(
+                    k_g, bank, b, step_idx,
+                    precrop_iters=cfg.precrop_iters,
+                    precrop_frac=cfg.precrop_frac)
+            else:
+                ba, tg = raybank.sample_group(k_g, bank, name, b)
             batches.append(ba)
             targets.append(tg)
         if use_depth:
