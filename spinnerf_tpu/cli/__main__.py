@@ -169,6 +169,53 @@ def main(argv=None):
         print(f"poses_bounds.npy written for {rest[0]}")
         return 0
 
+    if cmd == "gen_masks":
+        # synthesize an inpainting eval dataset: for each image, write
+        # `<name>_crop000.png` + `<name>_crop000_maskNNN.png` pairs (the LaMa
+        # eval-dataset convention; parity: `lama/bin/gen_mask_dataset.py`)
+        import argparse
+        ap = argparse.ArgumentParser("spinnerf gen_masks")
+        ap.add_argument("--indir", required=True)
+        ap.add_argument("--outdir", required=True)
+        ap.add_argument("--n_masks", type=int, default=1,
+                        help="mask variants per image")
+        ap.add_argument("--kind", default="mixed",
+                        choices=["mixed", "irregular", "rectangle",
+                                 "outpainting", "dumb"])
+        ap.add_argument("--seed", type=int, default=0)
+        a = ap.parse_args(rest)
+        import cv2
+        import numpy as np
+        from pathlib import Path
+        from spinnerf_tpu.data import lama_masks
+        gen = {"mixed": lama_masks.MixedMaskGenerator(),
+               "irregular": lambda h, w, rng: lama_masks.irregular_mask(
+                   h, w, rng),
+               "rectangle": lambda h, w, rng: lama_masks.rectangle_mask(
+                   h, w, rng),
+               "outpainting": lambda h, w, rng: lama_masks.outpainting_mask(
+                   h, w, rng),
+               "dumb": lambda h, w, rng: lama_masks.dumb_area_mask(
+                   h, w, rng)}[a.kind]
+        indir, outdir = Path(a.indir), Path(a.outdir)
+        outdir.mkdir(parents=True, exist_ok=True)
+        rng = np.random.RandomState(a.seed)
+        n_pairs = 0
+        for p in sorted(indir.iterdir()):
+            if p.suffix.lower() not in (".png", ".jpg", ".jpeg"):
+                continue
+            img = cv2.imread(str(p))
+            h, w = img.shape[:2]
+            stem = f"{p.stem}_crop000"
+            cv2.imwrite(str(outdir / f"{stem}.png"), img)
+            for k in range(a.n_masks):
+                m = np.asarray(gen(h, w, rng)).reshape(h, w)
+                cv2.imwrite(str(outdir / f"{stem}_mask{k:03d}.png"),
+                            (m * 255).astype(np.uint8))
+                n_pairs += 1
+        print(f"wrote {n_pairs} image/mask pairs to {outdir}")
+        return 0
+
     if cmd == "synth":
         from spinnerf_tpu.data import synthetic
         out = synthetic.make_scene(rest[0])

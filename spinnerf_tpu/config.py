@@ -32,6 +32,8 @@ class Config:
     i_embed: int = 0                  # 0 = positional encoding, -1 = none
     use_viewdirs: bool = True
     no_tcnn: bool = False             # False => hash-grid field (default)
+    log2_hashmap_size: int = 19       # per-level hash-table entries (2^k)
+    hash_impl: str = "auto"           # auto|mxu|xla gather strategy (TPU)
     alpha_model_path: str | None = None
 
     # sampling / rendering

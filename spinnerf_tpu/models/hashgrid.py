@@ -13,14 +13,15 @@ TPU design notes:
 - All 16 levels are encoded in ONE vectorized gather from a single
   [L, T, F] table (XLA lowers it to a batched dynamic-gather; no per-level
   Python loop survives tracing).
-- PERFORMANCE (measured, v5e): XLA's tiny-row (F=2) gathers and the
-  scatter-add backward into the 2^19-entry tables run ~1000x off HBM
-  bandwidth (~630 ms fwd / ~4.5 s fwd+bwd for 4096x128 points at default
-  size) — the classic hash-grid-on-TPU trap. The dense `NeRFField` MLP is
-  pure MXU matmul and is the throughput flagship on TPU (~17 it/s fused
-  step); this field is kept for reference parity and small-table configs.
-  A Pallas kernel holding each 2 MB level table VMEM-resident is the
-  planned fix (`spinnerf_tpu/ops/`).
+- PERFORMANCE (measured, v5e, 786k points x 16 levels x 8 corners):
+  XLA lowers the corner gather and the scatter-add backward to *serialized*
+  loops (~665 ms fwd, ~8 s fwd+bwd, flat in table size) — the classic
+  hash-grid-on-TPU trap; v5e has no vector-gather hardware (no SparseCore).
+  The fix is `ops/hash_encode.py`: gather/scatter recast as one-hot MXU
+  matmuls against a lane-packed [R, 128] table (Pallas), ~450-550 ms
+  fwd+bwd at log2_T=15-16 — 15-40x over the XLA path; selected
+  automatically via `impl="auto"` for log2_T <= 17. The dense `NeRFField`
+  MLP remains the single-chip throughput flagship (~24 it/s fused step).
 - Levels whose dense grid fits the table use collision-free linear indexing;
   finer levels use the standard spatial hash with primes (1, 2654435761,
   805459861) — the same scheme as instant-ngp, chosen per level statically.
@@ -51,20 +52,76 @@ def level_resolutions(n_levels: int, base_res: int, finest_res: float):
 
 
 class HashGridEncoding(nn.Module):
-    """Multiresolution hash encoding of positions in [0, 1]^3 -> [L*F]."""
+    """Multiresolution hash encoding of positions in [0, 1]^3 -> [L*F].
+
+    `impl` selects the gather strategy:
+      - "mxu": Pallas one-hot-matmul kernels (`ops/hash_encode.py`) — the
+        fast path on TPU (XLA's serialized gather/scatter loops are ~15-40x
+        slower at the training workload size); cost grows with table size,
+        so it is auto-selected for log2_table_size <= 17.
+      - "xla": plain gather / scatter-add (CPU, tiny problems, big tables).
+      - "auto": choose per backend + table size.
+    """
     n_levels: int = 16
     features: int = 2
     log2_table_size: int = 19
     base_res: int = 16
     finest_res: float = 2048.0
     compute_dtype: jnp.dtype = jnp.bfloat16
+    impl: str = "auto"
+
+    def corner_indices_weights(self, x):
+        """x: [N, 3] in [0, 1] -> (idx [L, 8, N] int32, w [L, 8, N] f32).
+
+        Layout contract: points are the MINOR dim of every intermediate —
+        any [.., 8]/[.., 3]-minor tensor gets tile-padded (to 128 lanes) by
+        XLA at training sizes, inflating HBM by 16-64x.
+        """
+        t = 1 << self.log2_table_size
+        resolutions = level_resolutions(self.n_levels, self.base_res,
+                                        self.finest_res)
+        scales = jnp.asarray(resolutions, x.dtype)            # [L]
+        # per-axis [L, N] tensors (points minor)
+        xs = scales[:, None, None] * x.T[None]                # [L, 3, N]
+        x0f = jnp.floor(xs)
+        frac = xs - x0f                                       # [L, 3, N]
+        x0 = x0f.astype(jnp.uint32)
+
+        dense_ok = np.asarray([(r + 1) ** 3 <= t for r in resolutions])
+        res_u = jnp.asarray(resolutions, jnp.uint32)[:, None]  # [L, 1]
+        p1 = jnp.asarray(np.uint32(_PRIMES[1]))
+        p2 = jnp.asarray(np.uint32(_PRIMES[2]))
+        ok = jnp.asarray(dense_ok)[:, None]                    # [L, 1]
+
+        idx_c, w_c = [], []
+        for ci in range(8):
+            i, j, k = (ci >> 2) & 1, (ci >> 1) & 1, ci & 1
+            cx = x0[:, 0, :] + np.uint32(i)                    # [L, N]
+            cy = x0[:, 1, :] + np.uint32(j)
+            cz = x0[:, 2, :] + np.uint32(k)
+            dense_idx = (cx * (res_u + 1) + cy) * (res_u + 1) + cz
+            hash_idx = cx ^ (cy * p1) ^ (cz * p2)
+            idx_c.append(jnp.where(ok, dense_idx, hash_idx) % t)
+            wx = frac[:, 0, :] if i else 1.0 - frac[:, 0, :]
+            wy = frac[:, 1, :] if j else 1.0 - frac[:, 1, :]
+            wz = frac[:, 2, :] if k else 1.0 - frac[:, 2, :]
+            w_c.append(wx * wy * wz)
+        idx = jnp.stack(idx_c, axis=1)                         # [L, 8, N]
+        w = jnp.stack(w_c, axis=1)
+        return idx.astype(jnp.int32), w.astype(jnp.float32)
+
+    def _resolve_impl(self):
+        if self.impl != "auto":
+            return self.impl
+        from spinnerf_tpu.ops import hash_encode as he
+        if self.features != 2 or ((1 << self.log2_table_size) * 2) % 128:
+            return "xla"
+        return he.recommended_impl(self.log2_table_size)
 
     @nn.compact
     def __call__(self, x):
         """x: [..., 3] in [0, 1]. Returns [..., n_levels * features]."""
         t = 1 << self.log2_table_size
-        resolutions = level_resolutions(self.n_levels, self.base_res,
-                                        self.finest_res)
         table = self.param(
             "table",
             lambda key, shape: jax.random.uniform(key, shape, jnp.float32,
@@ -73,44 +130,20 @@ class HashGridEncoding(nn.Module):
 
         shape = x.shape[:-1]
         x = jnp.clip(x.reshape(-1, 3), 0.0, 1.0)             # [N, 3]
-        n = x.shape[0]
+        idx, w = self.corner_indices_weights(x)
 
-        scales = jnp.asarray(resolutions, x.dtype)            # [L]
-        xs = x[:, None, :] * scales[None, :, None]            # [N, L, 3]
-        x0 = jnp.floor(xs)
-        frac = xs - x0                                        # [N, L, 3]
-        x0 = x0.astype(jnp.uint32)
-
-        # 8 corner offsets [8, 3]
-        corners = jnp.asarray(
-            [[i, j, k] for i in (0, 1) for j in (0, 1) for k in (0, 1)],
-            jnp.uint32)
-        cxyz = x0[:, :, None, :] + corners[None, None]        # [N, L, 8, 3]
-
-        # static per-level choice: dense (collision-free) vs hashed
-        dense_ok = np.asarray([(r + 1) ** 3 <= t for r in resolutions])
-        res_u = jnp.asarray(resolutions, jnp.uint32)[None, :, None]  # [1,L,1]
-        cx, cy, cz = cxyz[..., 0], cxyz[..., 1], cxyz[..., 2]
-        dense_idx = (cx * (res_u + 1) + cy) * (res_u + 1) + cz
-        p1 = jnp.asarray(np.uint32(_PRIMES[1]))
-        p2 = jnp.asarray(np.uint32(_PRIMES[2]))
-        hash_idx = cx ^ (cy * p1) ^ (cz * p2)
-        idx = jnp.where(jnp.asarray(dense_ok)[None, :, None],
-                        dense_idx, hash_idx) % t               # [N, L, 8]
-
-        # one batched gather over the level axis: [L, T, F] x [L, N*8] -> [L, N*8, F]
-        idx_l = idx.transpose(1, 0, 2).reshape(self.n_levels, n * 8)
-        feats = jnp.take_along_axis(table.astype(self.compute_dtype),
-                                    idx_l[..., None].astype(jnp.int32), axis=1)
-        feats = feats.reshape(self.n_levels, n, 8, self.features) \
-                     .transpose(1, 0, 2, 3)                    # [N, L, 8, F]
-
-        # trilinear weights per corner
-        w = jnp.where(corners[None, None].astype(bool),
-                      frac[:, :, None, :], 1.0 - frac[:, :, None, :])
-        w = jnp.prod(w, axis=-1).astype(self.compute_dtype)    # [N, L, 8]
-
-        out = jnp.sum(feats * w[..., None], axis=2)            # [N, L, F]
+        if self._resolve_impl() == "mxu":
+            from spinnerf_tpu.ops import hash_encode as he
+            out = he.hash_encode_mxu(table, idx, w)            # [N, L, F]
+            out = out.astype(self.compute_dtype)
+        else:
+            feats = jnp.take_along_axis(
+                table.astype(self.compute_dtype),
+                idx.reshape(self.n_levels, -1)[..., None], axis=1)
+            feats = feats.reshape(self.n_levels, 8, x.shape[0],
+                                  self.features)               # [L, 8, N, F]
+            out = jnp.sum(feats * w[..., None].astype(self.compute_dtype),
+                          axis=1).transpose(1, 0, 2)           # [N, L, F]
         return out.reshape(*shape, self.n_levels * self.features)
 
 
@@ -130,6 +163,7 @@ class HashGridField(nn.Module):
     sh_degree: int = 4
     semantic: bool = False
     compute_dtype: jnp.dtype = jnp.bfloat16
+    impl: str = "auto"
 
     @nn.compact
     def __call__(self, pts, viewdirs=None, frozen_sigma=None):
@@ -141,7 +175,7 @@ class HashGridField(nn.Module):
             n_levels=self.n_levels, features=self.features,
             log2_table_size=self.log2_table_size, base_res=self.base_res,
             finest_res=self.finest_res_per_unit * self.bound,
-            compute_dtype=dtype, name="encoder")(x)
+            compute_dtype=dtype, impl=self.impl, name="encoder")(x)
 
         h = enc.astype(dtype)
         for i in range(self.num_layers - 1):
@@ -150,7 +184,14 @@ class HashGridField(nn.Module):
         n_out = 1 + (1 if self.semantic else 0) + self.geo_feat_dim
         h = nn.Dense(n_out, dtype=dtype, name="sigma_out")(h)
 
-        sigma = h[..., 0:1].astype(jnp.float32)
+        # density = trunc_exp(raw): strictly positive with clamped-backward
+        # exp — NeRF_TCNN parity (`run_nerf_helpers_tcnn.py:99`,
+        # `activation.py:5-18`). The downstream renderer's relu is then the
+        # identity. A raw (pre-activation) sigma here dies under relu: the
+        # tiny sigma net is spatially ~constant at init, so one negative
+        # optimizer step zeroes all density with no gradient to recover.
+        from spinnerf_tpu.models.activations import trunc_exp
+        sigma = trunc_exp(h[..., 0:1].astype(jnp.float32))
         if frozen_sigma is not None:
             sigma = frozen_sigma.astype(jnp.float32)
         ofs = 1

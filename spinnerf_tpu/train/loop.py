@@ -47,6 +47,8 @@ def build_model(cfg: Config, semantic: bool = False):
     # hash-grid default (reference defaults to NeRF_TCNN, `run_nerf.py:1144`)
     from spinnerf_tpu.models.hashgrid import HashGridField
     return HashGridField(semantic=semantic,
+                         log2_table_size=cfg.log2_hashmap_size,
+                         impl=cfg.hash_impl,
                          compute_dtype=jnp.dtype(cfg.compute_dtype))
 
 
