@@ -3,9 +3,22 @@
 Commands mirror the reference's separately-launched programs (SURVEY §0):
   train    DS-NeRF training / --prepare pass (`DS_NeRF/run_nerf.py`)
   render   render-only modes (`--render_only` equivalents)
+  mvseg    multiview segmentation NeRF (`MVSeg/DS_NeRF/run_nerf.py`)
+  refine_masks  reprojection mask refinement (`mask_refinement.py`)
+  inpaint  LaMa 2D inpainting (`lama/bin/predict.py`)
+  pipeline run all stages end to end
   eval     PSNR/SSIM/LPIPS over two image dirs (`eval_metrics_script.py`)
   poses    COLMAP -> poses_bounds.npy export (`imgs2poses.py`)
   synth    generate the synthetic test scene
+  gen_masks       synthesize an inpainting eval dataset (`gen_mask_dataset.py`)
+  lama_train      adversarial inpainter training (`lama/bin/train.py`)
+  eval_inpainting score precomputed predictions (`evaluate_predicts.py`)
+  side_by_side    comparison sheets across predictors (`side_by_side.py`)
+  analyze_errors  worst-case mining + binned tables (`analyze_errors.py`)
+  inner_features  dump generator latents (`predict_inner_features.py`)
+  export          AOT StableHLO generator export (`to_jit.py`)
+  report          summarize a metrics JSONL (`report_from_tb.py`)
+  strip_ckpt      distribution checkpoint (`make_checkpoint.py`)
 
 All accept `--config <file>` with the reference's config.txt syntax.
 """
@@ -209,11 +222,136 @@ def main(argv=None):
             stem = f"{p.stem}_crop000"
             cv2.imwrite(str(outdir / f"{stem}.png"), img)
             for k in range(a.n_masks):
-                m = np.asarray(gen(h, w, rng)).reshape(h, w)
+                # mask synthesis may legally produce an empty mask
+                # (reference min_times=0); an eval pair needs a hole
+                for _ in range(20):
+                    m = np.asarray(gen(h, w, rng)).reshape(h, w)
+                    if m.any():
+                        break
                 cv2.imwrite(str(outdir / f"{stem}_mask{k:03d}.png"),
                             (m * 255).astype(np.uint8))
                 n_pairs += 1
         print(f"wrote {n_pairs} image/mask pairs to {outdir}")
+        return 0
+
+    if cmd == "lama_train":
+        # adversarial inpainter training (parity: `lama/bin/train.py`)
+        import argparse
+        ap = argparse.ArgumentParser("spinnerf lama_train")
+        ap.add_argument("--indir", required=True)
+        ap.add_argument("--exp_dir", required=True)
+        ap.add_argument("--val_dir", default=None)
+        ap.add_argument("--n_steps", type=int, default=1000)
+        ap.add_argument("--batch_size", type=int, default=8)
+        ap.add_argument("--crop", type=int, default=256)
+        ap.add_argument("--i_val", type=int, default=0)
+        ap.add_argument("--seed", type=int, default=0)
+        ap.add_argument("--ngf", type=int, default=64,
+                        help="generator width (big-lama: 64)")
+        ap.add_argument("--n_blocks", type=int, default=18,
+                        help="FFC resblocks (big-lama: 18)")
+        a = ap.parse_args(rest)
+        from spinnerf_tpu.train.lama_loop import train_inpainter
+        train_inpainter(a.indir, a.exp_dir, n_steps=a.n_steps,
+                        batch_size=a.batch_size, crop=a.crop,
+                        val_dir=a.val_dir, i_val=a.i_val, seed=a.seed,
+                        gen_kwargs=dict(ngf=a.ngf, n_blocks=a.n_blocks))
+        return 0
+
+    if cmd == "eval_inpainting":
+        # score precomputed predictions (parity: `lama/bin/evaluate_predicts.py`)
+        import argparse
+        ap = argparse.ArgumentParser("spinnerf eval_inpainting")
+        ap.add_argument("--datadir", required=True)
+        ap.add_argument("--predictdir", required=True)
+        ap.add_argument("--outpath", required=True)
+        a = ap.parse_args(rest)
+        from spinnerf_tpu.pipeline import lama_tools
+        results = lama_tools.evaluate_predicts(a.datadir, a.predictdir,
+                                               a.outpath)
+        for group, tbl in results.items():
+            print(group, {k: (round(v["mean"], 4)
+                              if isinstance(v, dict) else round(v, 4))
+                          for k, v in tbl.items() if k != "n"})
+        return 0
+
+    if cmd == "side_by_side":
+        import argparse
+        ap = argparse.ArgumentParser("spinnerf side_by_side")
+        ap.add_argument("--datadir", required=True)
+        ap.add_argument("--outdir", required=True)
+        ap.add_argument("--max_n", type=int, default=100)
+        ap.add_argument("--black", action="store_true")
+        ap.add_argument("predictdirs", nargs="+")
+        a = ap.parse_args(rest)
+        from spinnerf_tpu.pipeline import lama_tools
+        out = lama_tools.side_by_side(a.datadir, a.predictdirs, a.outdir,
+                                      max_n=a.max_n, black=a.black)
+        print(f"comparison sheets written to {out}")
+        return 0
+
+    if cmd == "analyze_errors":
+        import argparse
+        ap = argparse.ArgumentParser("spinnerf analyze_errors")
+        ap.add_argument("--datadir", required=True)
+        ap.add_argument("--predictdir", required=True)
+        ap.add_argument("--outdir", required=True)
+        ap.add_argument("--worst_k", type=int, default=10)
+        ap.add_argument("--sort_by", default="ssim")
+        a = ap.parse_args(rest)
+        from spinnerf_tpu.pipeline import lama_tools
+        lama_tools.analyze_errors(a.datadir, a.predictdir, a.outdir,
+                                  worst_k=a.worst_k, sort_by=a.sort_by)
+        print(f"error analysis written to {a.outdir}")
+        return 0
+
+    if cmd == "inner_features":
+        import argparse
+        ap = argparse.ArgumentParser("spinnerf inner_features")
+        ap.add_argument("--indir", required=True)
+        ap.add_argument("--outdir", required=True)
+        ap.add_argument("--model_path", default=None)
+        a = ap.parse_args(rest)
+        from spinnerf_tpu.pipeline import lama_tools
+        out = lama_tools.predict_inner_features(
+            a.indir, a.outdir, checkpoint_path=a.model_path)
+        print(f"inner features written to {out}")
+        return 0
+
+    if cmd == "export":
+        # AOT StableHLO export of the generator (parity: `lama/bin/to_jit.py`)
+        import argparse
+        ap = argparse.ArgumentParser("spinnerf export")
+        ap.add_argument("--outpath", required=True)
+        ap.add_argument("--model_path", default=None)
+        ap.add_argument("--height", type=int, default=512)
+        ap.add_argument("--width", type=int, default=512)
+        a = ap.parse_args(rest)
+        from spinnerf_tpu.pipeline import lama_tools
+        out = lama_tools.export_generator(
+            a.outpath, checkpoint_path=a.model_path,
+            input_shape=(1, a.height, a.width, 4))
+        print(f"serialized generator written to {out}")
+        return 0
+
+    if cmd == "report":
+        # summarize a metrics JSONL (parity: `lama/bin/report_from_tb.py`)
+        from spinnerf_tpu.pipeline import lama_tools
+        rep = lama_tools.report_from_logs(rest[0])
+        print(lama_tools.format_report(rep))
+        return 0
+
+    if cmd == "strip_ckpt":
+        # distribution checkpoint (parity: `lama/bin/make_checkpoint.py`)
+        import argparse
+        ap = argparse.ArgumentParser("spinnerf strip_ckpt")
+        ap.add_argument("--exp_dir", required=True)
+        ap.add_argument("--out_dir", required=True)
+        ap.add_argument("--step", type=int, default=None)
+        a = ap.parse_args(rest)
+        from spinnerf_tpu.train.checkpoints import strip_checkpoint
+        step, out = strip_checkpoint(a.exp_dir, a.out_dir, step=a.step)
+        print(f"stripped step-{step} params written to {out}")
         return 0
 
     if cmd == "synth":

@@ -50,11 +50,14 @@ def ssim(pred, target, *, max_val: float = 1.0, kernel_size: int = 11,
     kern = _gaussian_kernel(kernel_size, sigma)[..., None, None]  # [k,k,1,1]
 
     def filt(img):
-        # depthwise 'valid' correlation per channel
+        # depthwise 'valid' correlation per channel; HIGHEST precision is
+        # required — TPU convs default to bf16, whose rounding turns the
+        # E[x^2]-mu^2 variance terms into garbage (SSIM > 1)
         img = img.transpose(2, 0, 1)[..., None]                   # [C,H,W,1]
         out = jax.lax.conv_general_dilated(
             img, kern, window_strides=(1, 1), padding="VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=jax.lax.Precision.HIGHEST)
         return out[..., 0].transpose(1, 2, 0)                     # [H',W',C]
 
     c1 = (k1 * max_val) ** 2

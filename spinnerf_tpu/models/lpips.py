@@ -49,7 +49,12 @@ _SCALE = np.array([0.458, 0.448, 0.450], np.float32)
 
 
 class VGG16Features(nn.Module):
-    """VGG16 conv trunk returning the five LPIPS feature maps."""
+    """VGG16 conv trunk returning the five LPIPS feature maps.
+
+    Convs run at HIGHEST precision: TPU convs default to bf16 multiplies,
+    and LPIPS is a *metric* — fp32 keeps it comparable across backends (the
+    VGG FLOPs are negligible next to a NeRF train step).
+    """
     compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -61,6 +66,7 @@ class VGG16Features(nn.Module):
             if pool:
                 h = nn.max_pool(h, (2, 2), strides=(2, 2))
             h = nn.Conv(ch, (3, 3), padding=1, dtype=self.compute_dtype,
+                        precision=jax.lax.Precision.HIGHEST,
                         name=f"conv_{i}")(h)
             h = nn.relu(h)
             if tap:

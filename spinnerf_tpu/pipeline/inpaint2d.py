@@ -63,7 +63,9 @@ def predict(gen: lama.FFCResNetGenerator, variables, image: np.ndarray,
     mask_p = (mask_p > 0.5).astype(np.float32)[..., None]
     masked = img_p * (1.0 - mask_p)
     inp = jnp.asarray(np.concatenate([masked, mask_p], -1)[None])
-    pred = np.asarray(gen.apply(variables, inp))[0]
+    # jit: the axon TPU backend rejects some of these ops dispatched eagerly
+    # (op-by-op); under jit the whole graph compiles fine
+    pred = np.asarray(jax.jit(gen.apply)(variables, inp))[0]
     out = pred * mask_p + img_p * (1.0 - mask_p)
     return out[:h, :w]
 
@@ -119,13 +121,17 @@ def refine_predict(gen: lama.FFCResNetGenerator, variables,
     def rear_apply(z):
         return gen.apply(variables, z, method=FFC_REAR)
 
+    @jax.jit
+    def front_apply(inp):
+        return gen.apply(variables, inp, method=FFC_FRONT)
+
     prev = None   # previous-scale refined result (np [h, w, 3])
     for level, (img_l, mask_l) in enumerate(levels):
         if mask_dilate_iters > 0:
             mask_l = dilate_mask(mask_l, iterations=mask_dilate_iters)
         inp, m_p, (h, w) = forward(img_l, mask_l)
 
-        z = gen.apply(variables, inp, method=FFC_FRONT)
+        z = front_apply(inp)
         if prev is None or n_iters <= 0:
             pred = np.asarray(rear_apply(z))[0]
         else:
@@ -176,7 +182,7 @@ def load_generator(checkpoint_path=None, **kwargs):
         variables = lama.convert_big_lama(gen_sd)
     else:
         x = jnp.zeros((1, 64, 64, 4))
-        variables = gen.init(jax.random.PRNGKey(0), x)
+        variables = jax.jit(gen.init)(jax.random.PRNGKey(0), x)
     return gen, variables
 
 
@@ -193,15 +199,16 @@ def inpaint_directory(in_dir, out_dir, *, checkpoint_path=None,
 
     images = sorted(p for p in in_dir.iterdir()
                     if p.suffix.lower() in (".png", ".jpg", ".jpeg")
-                    and not p.stem.endswith("_mask"))
+                    and "_mask" not in p.stem)
     for p in images:
         img = cv2.cvtColor(cv2.imread(str(p)), cv2.COLOR_BGR2RGB)
         img = img.astype(np.float32) / 255.0
         # mask layouts: label/<name>.png (SPIn-NeRF staging) or the LaMa
-        # eval-dataset convention <name>_mask.png next to the image
+        # eval-dataset convention <name>_mask*.png next to the image
         mp = in_dir / "label" / (p.stem + ".png")
         if not mp.exists():
-            mp = in_dir / (p.stem + "_mask.png")
+            mp = next(iter(sorted(in_dir.glob(p.stem + "_mask*"))),
+                      in_dir / (p.stem + "_mask.png"))
         m = cv2.imread(str(mp), cv2.IMREAD_GRAYSCALE)
         if m is None:
             raise FileNotFoundError(mp)

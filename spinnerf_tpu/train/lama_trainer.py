@@ -59,8 +59,11 @@ def make_lama_train_step(gen: FFCResNetGenerator, disc: NLayerDiscriminator,
     def init_fn(key, image_shape=(1, 256, 256, 3)):
         k1, k2 = jax.random.split(key)
         x = jnp.zeros(image_shape[:3] + (4,))
-        gen_vars = gen.init(k1, x, train=True)
-        disc_vars = disc.init(k2, jnp.zeros(image_shape), train=True)
+        # jit the inits: the axon TPU backend rejects some ops dispatched
+        # eagerly that compile fine inside a jitted graph
+        gen_vars = jax.jit(lambda k: gen.init(k, x, train=True))(k1)
+        disc_vars = jax.jit(
+            lambda k: disc.init(k, jnp.zeros(image_shape), train=True))(k2)
         return LamaTrainState(
             gen_vars=gen_vars, disc_vars=disc_vars,
             # distinct buffers: the state is donated, and donating aliased
