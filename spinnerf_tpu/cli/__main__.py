@@ -250,12 +250,19 @@ def main(argv=None):
                         help="generator width (big-lama: 64)")
         ap.add_argument("--n_blocks", type=int, default=18,
                         help="FFC resblocks (big-lama: 18)")
+        ap.add_argument("--perceptual", default="none",
+                        choices=["none", "vgg", "resnet_pl"],
+                        help="perceptual loss (big-lama: resnet_pl)")
+        ap.add_argument("--perceptual_weights", default=None,
+                        help="MIT ade20k encoder torch checkpoint")
         a = ap.parse_args(rest)
         from spinnerf_tpu.train.lama_loop import train_inpainter
         train_inpainter(a.indir, a.exp_dir, n_steps=a.n_steps,
                         batch_size=a.batch_size, crop=a.crop,
                         val_dir=a.val_dir, i_val=a.i_val, seed=a.seed,
-                        gen_kwargs=dict(ngf=a.ngf, n_blocks=a.n_blocks))
+                        gen_kwargs=dict(ngf=a.ngf, n_blocks=a.n_blocks),
+                        perceptual=a.perceptual,
+                        perceptual_weights=a.perceptual_weights)
         return 0
 
     if cmd == "eval_inpainting":

@@ -202,7 +202,11 @@ class FFC(nn.Module):
 
 
 class FFCBnAct(nn.Module):
-    """FFC followed by per-branch BN + ReLU (`ffc.py:228-254`)."""
+    """FFC followed by per-branch BN + activation (`ffc.py:228-254`).
+
+    `act`: "relu" (generator) or "leaky" (0.2 slope — the FFC discriminator,
+    `ffc.py:376-377`).
+    """
     features: int
     kernel: int = 3
     ratio_gin: float = 0.0
@@ -210,18 +214,21 @@ class FFCBnAct(nn.Module):
     stride: int = 1
     dilation: int = 1
     enable_lfu: bool = False
+    act: str = "relu"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x_l, x_g = FFC(self.features, self.kernel, self.ratio_gin,
                        self.ratio_gout, self.stride, self.dilation,
                        self.enable_lfu, name="ffc")(x, train)
+        act = nn.relu if self.act == "relu" else \
+            lambda h: nn.leaky_relu(h, 0.2)
         if x_l is not None:
-            x_l = nn.relu(nn.BatchNorm(use_running_average=not train,
-                                       name="bn_l")(x_l))
+            x_l = act(nn.BatchNorm(use_running_average=not train,
+                                   name="bn_l")(x_l))
         if x_g is not None:
-            x_g = nn.relu(nn.BatchNorm(use_running_average=not train,
-                                       name="bn_g")(x_g))
+            x_g = act(nn.BatchNorm(use_running_average=not train,
+                                   name="bn_g")(x_g))
         return x_l, x_g
 
 

@@ -66,12 +66,42 @@ def visualize_batch(images, masks, preds, out_path, *, max_items: int = 8):
     return out_path
 
 
+def make_perceptual_fn(kind: str, *, weights_path=None):
+    """Perceptual-loss factory for inpainter training: `resnet_pl` (the
+    big-lama default — ADE20k dilated-ResNet features,
+    `losses/perceptual.py:88-113`), `vgg` (plain VGG feature MSE), or
+    `none`."""
+    if kind == "none" or kind is None:
+        return None
+    if kind == "resnet_pl":
+        from spinnerf_tpu.models.segmentation import make_resnet_pl
+        loss_fn, _ = make_resnet_pl(weights_path=weights_path)
+        return loss_fn
+    if kind == "vgg":
+        import jax.numpy as jnp
+        from spinnerf_tpu.models.lpips import VGG16Features
+        net = VGG16Features()
+        params = jax.jit(net.init)(jax.random.PRNGKey(0),
+                                   jnp.zeros((1, 32, 32, 3)))
+
+        def loss_fn(pred, target):
+            fp = net.apply(params, pred)
+            ft = net.apply(params, jax.lax.stop_gradient(target))
+            total = 0.0
+            for a, b in zip(fp, ft):
+                total = total + ((a - jax.lax.stop_gradient(b)) ** 2).mean()
+            return total
+        return loss_fn
+    raise ValueError(f"unknown perceptual kind {kind}")
+
+
 def train_inpainter(indir, exp_dir, *, n_steps: int = 1000,
                     batch_size: int = 8, crop: int = 256,
                     val_dir=None, gen_kwargs=None, disc_kwargs=None,
                     i_print: int = 50, i_vis: int = 250, i_ckpt: int = 500,
                     i_val: int = 0, seed: int = 0, mesh=None,
-                    max_images=None, log=print):
+                    max_images=None, perceptual: str = "none",
+                    perceptual_weights=None, log=print):
     """Train the FFC inpainter on an image directory. Returns final state.
 
     Writes `<exp_dir>/metrics.jsonl`, visualizer grids under
@@ -87,7 +117,10 @@ def train_inpainter(indir, exp_dir, *, n_steps: int = 1000,
 
     gen = FFCResNetGenerator(**(gen_kwargs or {}))
     disc = NLayerDiscriminator(**(disc_kwargs or {}))
-    init_fn, step_fn = make_lama_train_step(gen, disc, mesh=mesh)
+    init_fn, step_fn = make_lama_train_step(
+        gen, disc, mesh=mesh,
+        perceptual_fn=make_perceptual_fn(perceptual,
+                                         weights_path=perceptual_weights))
     key = jax.random.PRNGKey(seed)
     state = init_fn(key, image_shape=(batch_size, crop, crop, 3))
 
