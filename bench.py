@@ -40,9 +40,16 @@ def main():
         bank = raybank.build_raybank(scene, np.arange(8),
                                      depth_list=depth_list)
 
-    model = NeRFField()  # 8x256 MLP in bf16 — the TPU-optimal flagship
-    # (the hash-grid field is functional but gather-bound on TPU; see
-    # spinnerf_tpu/models/hashgrid.py notes)
+    # 8x256 MLP flagship. On a real TPU the field runs the Pallas fused
+    # encode+MLP kernel (ops/fused_mlp.py: PE computed in-kernel, weight-grads
+    # only, VMEM-resident activations — 1.6x over the XLA schedule on v5e);
+    # off-TPU it falls back to the flax field. (The hash-grid field is
+    # functional but gather-bound on TPU; see models/hashgrid.py notes.)
+    if jax.default_backend() != "cpu":
+        from spinnerf_tpu.ops.fused_mlp import FusedMLPField
+        model = FusedMLPField()
+    else:
+        model = NeRFField()
     rcfg = RenderConfig(n_samples=64, n_importance=64, perturb=True,
                         raw_noise_std=1.0)
     tcfg = TrainConfig(render=rcfg, n_rand=n_rand, depth_supervision=True,

@@ -34,6 +34,9 @@ class Config:
     no_tcnn: bool = False             # False => hash-grid field (default)
     log2_hashmap_size: int = 19       # per-level hash-table entries (2^k)
     hash_impl: str = "auto"           # auto|mxu|xla gather strategy (TPU)
+    fused_mlp: bool = True            # MLP field runs the Pallas fused
+    #                                   kernel on TPU (1.6x over XLA on v5e);
+    #                                   auto-falls back off-TPU / frozen-sigma
     alpha_model_path: str | None = None
 
     # sampling / rendering

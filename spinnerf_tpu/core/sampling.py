@@ -101,14 +101,29 @@ def sample_pdf(key, bins, weights, n_samples: int, *, det: bool = False,
         else:
             u = jax.random.uniform(key, (batch, n_samples), dtype=dtype)
 
-    inds = searchsorted_right(cdf, u)
-    below = jnp.maximum(inds - 1, 0)
-    above = jnp.minimum(inds, cdf.shape[-1] - 1)
+    # Gather-free lookup (TPU): this backend serializes vector gathers, so
+    # the four take_along_axis reads at the searchsorted indices cost ~20 ms
+    # per step at the bench shapes. Because `cdf` is row-sorted, the boolean
+    # compare matrix `le` is a prefix of ones per (ray, sample) — the values
+    # at index `inds-1` / `inds` are masked max/min reductions over the SAME
+    # [B, S, N] comparison the index count uses, all VPU work (<1 ms).
+    le = cdf[:, None, :] <= u[:, :, None]                    # [B, S, N]
+    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
 
-    cdf_below = jnp.take_along_axis(cdf, below, axis=-1)
-    cdf_above = jnp.take_along_axis(cdf, above, axis=-1)
-    bins_below = jnp.take_along_axis(bins, below, axis=-1)
-    bins_above = jnp.take_along_axis(bins, above, axis=-1)
+    def at_below(vals):
+        # vals row-sorted ascending; vals[inds-1] = max of the prefix
+        # (cdf_0 = 0 <= u guarantees a non-empty prefix)
+        return jnp.max(jnp.where(le, vals[:, None, :], -big), axis=-1)
+
+    def at_above(vals):
+        # vals[min(inds, N-1)]: min of the suffix, last entry when empty
+        suffix = jnp.min(jnp.where(le, big, vals[:, None, :]), axis=-1)
+        return jnp.where(suffix >= big, vals[:, -1:], suffix)
+
+    cdf_below = at_below(cdf)
+    cdf_above = at_above(cdf)
+    bins_below = at_below(bins)
+    bins_above = at_above(bins)
 
     denom = cdf_above - cdf_below
     denom = jnp.where(denom < 1e-5, jnp.ones_like(denom), denom)

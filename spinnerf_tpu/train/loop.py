@@ -39,6 +39,16 @@ class TrainState:
 
 def build_model(cfg: Config, semantic: bool = False):
     if cfg.no_tcnn:
+        # the fused Pallas kernel needs a real TPU, viewdirs, and no
+        # frozen-sigma (NeRF_RGB) mode; otherwise use the flax field
+        if (cfg.fused_mlp and cfg.use_viewdirs and not cfg.alpha_model_path
+                and jax.default_backend() not in ("cpu",)):
+            from spinnerf_tpu.ops.fused_mlp import FusedMLPField
+            return FusedMLPField(
+                depth=cfg.netdepth, width=cfg.netwidth,
+                multires=cfg.multires, multires_views=cfg.multires_views,
+                semantic=semantic,
+                compute_dtype=jnp.dtype(cfg.compute_dtype))
         return NeRFField(
             depth=cfg.netdepth, width=cfg.netwidth,
             multires=cfg.multires, multires_views=cfg.multires_views,

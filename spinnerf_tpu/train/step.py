@@ -128,7 +128,11 @@ def make_train_step(model, cfg: TrainConfig, bank: raybank.RayBank,
     def _apply(p, pts, vd):
         c = cfg.remat_chunks
         # engage only when chunks stay big enough to fill the MXU; tiny
-        # scan-of-remat graphs are slower and have crashed XLA:CPU
+        # scan-of-remat graphs are slower and have crashed XLA:CPU.
+        # Fused-kernel fields do their own in-VMEM rematerialization —
+        # scan-chunking them only adds launch overhead.
+        if getattr(model, "is_fused", False):
+            return _raw(p, pts, vd)
         if c <= 1 or pts.shape[0] % c != 0 or pts.shape[0] // c < 64:
             return _raw(p, pts, vd)
         ck = jax.checkpoint(lambda p_, x, d: _raw(p_, x, d))
