@@ -554,6 +554,21 @@ def _pe_args(dims):
     return [jnp.asarray(a) for a in (*pe_x, *pe_d)]
 
 
+def _cast_matmul_weights(weights, dims: MLPDims):
+    """Pre-cast matmul weights to the compute dtype OUTSIDE the kernel.
+
+    The kernel body runs per grid step, so an in-kernel f32->bf16 cast of the
+    ~660k weight elements repeats ~1.5k times per call (~10% of kernel time at
+    the bench shapes). Biases stay f32 — they add into the f32 accumulators.
+    """
+    dtype = jnp.dtype(dims.compute_dtype)
+    if dtype == jnp.float32:
+        return weights
+    return {n: (w.astype(dtype) if n.endswith("_w") or n.startswith("tw")
+                else w)
+            for n, w in weights.items()}
+
+
 def _fused_pe_impl(dims, block, weights, xd):
     p = xd.shape[0]
     names = _weight_order(dims)
@@ -575,7 +590,8 @@ def _fused_pe_impl(dims, block, weights, xd):
             flops=int(2 * p * 1.2e6 / 1e3), bytes_accessed=p * 48,
             transcendentals=p * 90),
         interpret=jax.default_backend() == "cpu",
-    )(xd, *_pe_args(dims), *[weights[n] for n in names])
+    )(xd, *_pe_args(dims), *[_cast_matmul_weights(weights, dims)[n]
+                             for n in names])
 
 
 def _fused_pe_fwd(dims, block, weights, xd):
@@ -615,7 +631,8 @@ def _fused_pe_bwd(dims, block, res, g):
             flops=int(4 * p * 1.2e6 / 1e3), bytes_accessed=p * 64,
             transcendentals=p * 90),
         interpret=jax.default_backend() == "cpu",
-    )(xd, *_pe_args(dims), *[weights[n] for n in names], g)
+    )(xd, *_pe_args(dims), *[_cast_matmul_weights(weights, dims)[n]
+                             for n in names], g)
 
     dws = {n: outs[i] for i, n in enumerate(names)}
     return (dws, jnp.zeros_like(xd))
