@@ -194,7 +194,8 @@ def main(argv=None):
                         help="mask variants per image")
         ap.add_argument("--kind", default="mixed",
                         choices=["mixed", "irregular", "rectangle",
-                                 "outpainting", "dumb"])
+                                 "outpainting", "dumb", "superres",
+                                 "squares"])
         ap.add_argument("--seed", type=int, default=0)
         a = ap.parse_args(rest)
         import cv2
@@ -209,6 +210,10 @@ def main(argv=None):
                "outpainting": lambda h, w, rng: lama_masks.outpainting_mask(
                    h, w, rng),
                "dumb": lambda h, w, rng: lama_masks.dumb_area_mask(
+                   h, w, rng),
+               "superres": lambda h, w, rng: lama_masks.superres_mask(
+                   h, w, rng),
+               "squares": lambda h, w, rng: lama_masks.squares_mask(
                    h, w, rng)}[a.kind]
         indir, outdir = Path(a.indir), Path(a.outdir)
         outdir.mkdir(parents=True, exist_ok=True)

@@ -28,8 +28,24 @@ from spinnerf_tpu.train.lama_trainer import make_batch, make_lama_train_step
 
 
 def load_image_dir(indir, *, max_images=None):
-    """Load training images ([H, W, 3] float lists) from a directory tree."""
+    """Load training images ([H, W, 3] float lists) from a directory tree,
+    or from tar shards when `indir` contains `*.tar` (the webdataset-style
+    feed — see `data.shards`)."""
     import cv2
+    indir = Path(indir)
+    shard_paths = (sorted(indir.glob("*.tar")) if indir.is_dir()
+                   else ([indir] if indir.suffix == ".tar" else []))
+    if shard_paths:
+        from spinnerf_tpu.data import shards
+        it = shards.iter_shard_images(shard_paths, shuffle_buffer=64)
+        images = []
+        for img in it:
+            images.append(img)
+            if max_images and len(images) >= max_images:
+                break
+        if not images:
+            raise FileNotFoundError(f"no images in shards under {indir}")
+        return images
     paths = sorted(p for p in Path(indir).rglob("*")
                    if p.suffix.lower() in (".png", ".jpg", ".jpeg")
                    and "_mask" not in p.stem)

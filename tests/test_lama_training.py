@@ -88,3 +88,68 @@ def test_make_batch(rng):
     crops, masks = make_batch(imgs, MixedMaskGenerator(), rng, crop=32)
     assert crops.shape == (3, 32, 32, 3)
     assert masks.shape == (3, 32, 32, 1)
+
+
+def test_new_mask_generators(rng):
+    from spinnerf_tpu.data.lama_masks import (LinearRamp, RampedGenerator,
+                                              SegmentationMaskGenerator,
+                                              squares_mask, superres_mask)
+    m = superres_mask(64, 80, rng)
+    assert m.shape == (64, 80) and set(np.unique(m)) == {0.0, 1.0}
+    # periodic stripes cover both axes: every row and every column hit
+    assert (m.sum(0) > 0).mean() > 0.2 and (m.sum(1) > 0).mean() > 0.2
+    m = squares_mask(64, 64, rng, max_times=5)
+    assert m.shape == (64, 64)
+    m = irregular_mask(64, 64, rng, draw_method="circle")
+    assert m.shape == (64, 64)
+
+    ramp = LinearRamp(start_value=0.0, end_value=1.0, start_iter=0,
+                      end_iter=100)
+    assert ramp(-5) == 0.0 and ramp(100) == 1.0 and ramp(50) == 0.5
+    ramped = RampedGenerator(rectangle_mask, ramp,
+                             {"max_times": 10, "bbox_max_size": 90})
+    early = [ramped(64, 64, rng, iter_i=5).mean() for _ in range(10)]
+    late = [ramped(64, 64, rng, iter_i=100).mean() for _ in range(10)]
+    assert np.mean(late) > np.mean(early)  # difficulty ramps up
+
+    def segment_fn(image):
+        lab = np.zeros(image.shape[:2], np.int32)
+        lab[10:30, 10:30] = 3
+        return lab
+
+    seg = SegmentationMaskGenerator(segment_fn)
+    img = np.zeros((64, 64, 3), np.float32)
+    m = seg(64, 64, rng, image=img)
+    assert m[15, 15] == 1.0 and m[50, 50] == 0.0 and m.sum() == 400
+    # no image -> rectangle fallback
+    assert seg(64, 64, rng).shape == (64, 64)
+    # mixed generator routes image= only to generators accepting it
+    mixed = MixedMaskGenerator(((seg, 1.0), (superres_mask, 1.0)))
+    for _ in range(5):
+        assert mixed(64, 64, rng, iter_i=3, image=img).shape == (64, 64)
+
+
+def test_tar_shard_stream(rng, tmp_path):
+    import cv2
+    from spinnerf_tpu.data import shards
+    src = tmp_path / "imgs"
+    src.mkdir()
+    for i in range(7):
+        img = (rng.rand(32, 40, 3) * 255).astype(np.uint8)
+        cv2.imwrite(str(src / f"im_{i}.png"), img)
+    out = shards.write_tar_shards(src, tmp_path / "shards", shard_size=3)
+    assert len(out) == 3  # 3+3+1
+    imgs = list(shards.iter_shard_images(tmp_path / "shards",
+                                         rng=np.random.RandomState(0)))
+    assert len(imgs) == 7
+    assert all(im.shape == (32, 40, 3) and im.dtype == np.float32
+               for im in imgs)
+    # shuffle-buffer + loop mode streams endlessly
+    it = shards.iter_shard_images(out, rng=np.random.RandomState(1),
+                                  shuffle_buffer=4, loop=True)
+    got = [next(it) for _ in range(20)]
+    assert len(got) == 20
+    # the trainer's loader accepts a shard directory
+    from spinnerf_tpu.train.lama_loop import load_image_dir
+    pool = load_image_dir(tmp_path / "shards", max_images=5)
+    assert len(pool) == 5
