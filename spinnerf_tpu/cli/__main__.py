@@ -60,7 +60,14 @@ def main(argv=None):
             from spinnerf_tpu.utils.visualization import visualize_sigma
             out = tr.exp_dir / f"renderonly_ray_{start:06d}"
             out.mkdir(parents=True, exist_ok=True)
-            batch = rb.sample_depth_group(jax.random.PRNGKey(0), tr.bank, 64)
+            if tr.bank.depth_group is not None:
+                batch = rb.sample_depth_group(jax.random.PRNGKey(0),
+                                              tr.bank, 64)
+            else:
+                # no sparse-depth rays loaded — visualize rays of the first
+                # train view instead
+                batch, _ = rb.sample_group(jax.random.PRNGKey(0), tr.bank,
+                                           "rgb", 64)
             coarse_fn, fine_fn = tr.field_fns()
             rcfg = tr.tcfg.render._replace(perturb=False, raw_noise_std=0.0)
             z = sampling.stratified_z_vals(jax.random.PRNGKey(0),
@@ -74,7 +81,8 @@ def main(argv=None):
                             out / "rays.png")
             res = rendering.render_rays(jax.random.PRNGKey(0), batch,
                                         coarse_fn, rcfg, fine_field_fn=fine_fn)
-            print("colmap depth:", float(batch["depths"][0]))
+            if batch.get("depths") is not None:
+                print("colmap depth:", float(batch["depths"][0]))
             print("estimated depth:", float(res.fine.depth[0]))
             print(f"sigma plot written to {out}/rays.png")
             return 0
@@ -129,10 +137,24 @@ def main(argv=None):
         return 0
 
     if cmd == "pipeline":
+        import argparse
         from spinnerf_tpu.config import load_config
         from spinnerf_tpu.pipeline.stages import run_pipeline
+        # per-stage budgets (the reference trains each stage with its own
+        # N_iters: mvseg 4000, prepare 4001, fit 10001 — README.md:65,140)
+        ap = argparse.ArgumentParser("spinnerf pipeline", add_help=False)
+        ap.add_argument("--mvseg_iters", type=int, default=None)
+        ap.add_argument("--prepare_iters", type=int, default=None)
+        ap.add_argument("--fit_iters", type=int, default=None)
+        ap.add_argument("--skip_mvseg", action="store_true")
+        ap.add_argument("--no_refine", action="store_true")
+        ap.add_argument("--lama_checkpoint", default=None)
+        a, rest = ap.parse_known_args(rest)
         cfg = load_config(rest)
-        _, results = run_pipeline(cfg)
+        _, results = run_pipeline(
+            cfg, mvseg_iters=a.mvseg_iters, prepare_iters=a.prepare_iters,
+            fit_iters=a.fit_iters, lama_checkpoint=a.lama_checkpoint,
+            refine=not a.no_refine, skip_mvseg=a.skip_mvseg)
         print(results.get("summary", {}))
         return 0
 

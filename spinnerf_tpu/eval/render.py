@@ -101,10 +101,37 @@ def render_path(key, poses, hwf, field_fn, cfg: RenderConfig, *, near, far,
 
 
 def write_video(path, frames, fps: int = 30):
-    """Write an mp4 from [M,H,W,3] float or uint8 frames."""
-    import imageio.v2 as imageio
+    """Write an mp4 from [M,H,W,3] float or grayscale/uint8 frames.
+
+    Prefers imageio+ffmpeg (better quality control); falls back to OpenCV's
+    built-in mp4v encoder when no ffmpeg backend is available.
+    """
+    frames = [np.asarray(f) for f in frames]
     frames = [to8b(f) if f.dtype != np.uint8 else f for f in frames]
-    imageio.mimwrite(str(path), frames, fps=fps, quality=8)
+    frames = [np.repeat(f[..., None], 3, axis=-1) if f.ndim == 2 else f
+              for f in frames]
+    try:
+        import imageio.v2 as imageio
+        imageio.mimwrite(str(path), frames, fps=fps, quality=8)
+        return
+    except (ValueError, ImportError, OSError):
+        pass
+    import cv2
+    h, w = frames[0].shape[:2]
+    vw = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"mp4v"),
+                         fps, (w, h))
+    if not vw.isOpened():
+        # last resort: per-frame PNGs next to the requested path
+        from pathlib import Path
+        out = Path(str(path) + ".frames")
+        out.mkdir(parents=True, exist_ok=True)
+        for i, f in enumerate(frames):
+            cv2.imwrite(str(out / f"{i:04d}.png"),
+                        cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
+        return
+    for f in frames:
+        vw.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
+    vw.release()
 
 
 def normalize_disps_for_video(disps):

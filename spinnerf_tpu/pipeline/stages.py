@@ -133,9 +133,11 @@ def stage_eval(cfg: Config, trainer, *, log=print):
         if trainer.scene.masks is not None:
             m = jnp.asarray((np.abs(trainer.scene.masks[t]) > 0.5)
                             .astype(np.float32))
-            row["masked_psnr"] = float(metrics.psnr(pred, gt, m))
+            if float(m.sum()) > 0:  # views without a hole have no masked PSNR
+                row["masked_psnr"] = float(metrics.psnr(pred, gt, m))
         rows.append(row)
-    summary = {k: float(np.mean([r[k] for r in rows])) for k in rows[0]}
+    summary = {k: float(np.mean([r[k] for r in rows if k in r]))
+               for k in set().union(*rows)}
     log(f"[eval] {summary}")
     return {"per_view": rows, "summary": summary}
 

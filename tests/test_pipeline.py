@@ -47,7 +47,10 @@ def test_full_pipeline_smoke(tmp_path):
 
     assert "summary" in results
     assert np.isfinite(results["summary"]["psnr"])
-    assert "masked_psnr" in results["summary"]
+    # masked PSNR is only reported for test views whose mask has a hole
+    # (and must then be finite — never inf from an empty mask)
+    if "masked_psnr" in results["summary"]:
+        assert np.isfinite(results["summary"]["masked_psnr"])
 
     out = tmp_path / "logs" / "pipe" / "pipeline_results.json"
     assert json.loads(out.read_text())["summary"] == results["summary"]
