@@ -51,13 +51,87 @@ def _area_resize(img, h, w):
     return out
 
 
+class Inpainter:
+    """Jit-cached inference wrapper around an FFC generator.
+
+    `jax.jit(gen.apply)` built per call recompiles the 18-block graph for
+    EVERY image (~17 s on v5e); one Inpainter per (gen, variables) pair
+    compiles once per input shape. The latent-refinement optimizer step is
+    cached per pyramid-level shape signature the same way.
+    """
+
+    def __init__(self, gen: lama.FFCResNetGenerator, variables):
+        self.gen = gen
+        self.variables = variables
+        self._full = jax.jit(lambda inp: gen.apply(variables, inp))
+        self._front = jax.jit(
+            lambda inp: gen.apply(variables, inp,
+                                  method=lambda m, x: m.front(x)))
+        self._rear = jax.jit(
+            lambda z: gen.apply(variables, z,
+                                method=lambda m, z_: m.rear(z_)))
+        self._steps = {}
+
+    def full(self, inp):
+        return self._full(inp)
+
+    def front(self, inp):
+        return self._front(inp)
+
+    def rear(self, z):
+        return self._rear(z)
+
+    def refine_step(self, *, h, w, ph, pw, lr):
+        """Jitted Adam step on the latents against the previous-scale
+        reference, cached on the static shape signature."""
+        key = (h, w, ph, pw, lr)
+        if key in self._steps:
+            return self._steps[key]
+        gen, variables = self.gen, self.variables
+        fy, fx = h // ph, w // pw
+        tx = optax.adam(lr)
+
+        def loss_fn(z, ref, m_ref):
+            pred = gen.apply(variables, z,
+                             method=lambda m, z_: m.rear(z_))[0, :h, :w]
+            pd = pred[: ph * fy, : pw * fx]
+            pd = pd.reshape(ph, fy, pw, fx, 3).mean(axis=(1, 3))
+            return jnp.sum(jnp.abs(pd - ref) * m_ref) / \
+                jnp.maximum(jnp.sum(m_ref), 1.0)
+
+        @jax.jit
+        def step(z, opt_state, ref, m_ref):
+            loss, grads = jax.value_and_grad(loss_fn)(z, ref, m_ref)
+            updates, opt_state = tx.update(grads, opt_state)
+            return optax.apply_updates(z, updates), opt_state, loss
+
+        self._steps[key] = (step, tx)
+        return self._steps[key]
+
+
+_INPAINTER_CACHE: list = []   # [(gen_id, var_id, Inpainter)] — keep last few
+
+
+def _inpainter_for(gen, variables) -> Inpainter:
+    key = (id(gen), id(variables))
+    for k0, k1, inp in _INPAINTER_CACHE:
+        if (k0, k1) == key:
+            return inp
+    inp = Inpainter(gen, variables)
+    _INPAINTER_CACHE.append((*key, inp))
+    del _INPAINTER_CACHE[:-4]   # bound compiled-graph retention
+    return inp
+
+
 def predict(gen: lama.FFCResNetGenerator, variables, image: np.ndarray,
-            mask: np.ndarray) -> np.ndarray:
+            mask: np.ndarray, *, inpainter: Inpainter | None = None
+            ) -> np.ndarray:
     """Plain single-forward inpainting.
 
     Args: image [H, W, 3] float in [0,1]; mask [H, W] (1 = hole).
     Returns: inpainted [H, W, 3].
     """
+    inpainter = inpainter or _inpainter_for(gen, variables)
     img_p, (h, w) = pad_to_modulo(image)
     mask_p, _ = pad_to_modulo(mask)
     mask_p = (mask_p > 0.5).astype(np.float32)[..., None]
@@ -65,7 +139,7 @@ def predict(gen: lama.FFCResNetGenerator, variables, image: np.ndarray,
     inp = jnp.asarray(np.concatenate([masked, mask_p], -1)[None])
     # jit: the axon TPU backend rejects some of these ops dispatched eagerly
     # (op-by-op); under jit the whole graph compiles fine
-    pred = np.asarray(jax.jit(gen.apply)(variables, inp))[0]
+    pred = np.asarray(inpainter.full(inp))[0]
     out = pred * mask_p + img_p * (1.0 - mask_p)
     return out[:h, :w]
 
@@ -96,13 +170,14 @@ def refine_predict(gen: lama.FFCResNetGenerator, variables,
                    image: np.ndarray, mask: np.ndarray, *,
                    n_iters: int = 15, lr: float = 2e-3,
                    min_side: int = 512, px_budget: float = 1.8e6,
-                   max_scales: int = 3,
-                   mask_dilate_iters: int = 5) -> np.ndarray:
+                   max_scales: int = 3, mask_dilate_iters: int = 5,
+                   inpainter: Inpainter | None = None) -> np.ndarray:
     """Multiscale latent-refined inpainting (`refine_predict`,
     `refinement.py:245-309`, single-device).
 
     Returns the inpainted image at the pyramid's finest resolution.
     """
+    inpainter = inpainter or _inpainter_for(gen, variables)
     levels = _build_pyramid(image, mask, min_side=min_side,
                             px_budget=px_budget, max_scales=max_scales)
 
@@ -114,26 +189,15 @@ def refine_predict(gen: lama.FFCResNetGenerator, variables,
             np.concatenate([img_p * (1 - m_p), m_p], -1)[None])
         return inp, m_p, (h, w)
 
-    FFC_REAR = lambda mdl, z: mdl.rear(z)  # noqa: E731
-    FFC_FRONT = lambda mdl, x: mdl.front(x)  # noqa: E731
-
-    @jax.jit
-    def rear_apply(z):
-        return gen.apply(variables, z, method=FFC_REAR)
-
-    @jax.jit
-    def front_apply(inp):
-        return gen.apply(variables, inp, method=FFC_FRONT)
-
     prev = None   # previous-scale refined result (np [h, w, 3])
     for level, (img_l, mask_l) in enumerate(levels):
         if mask_dilate_iters > 0:
             mask_l = dilate_mask(mask_l, iterations=mask_dilate_iters)
         inp, m_p, (h, w) = forward(img_l, mask_l)
 
-        z = front_apply(inp)
+        z = inpainter.front(inp)
         if prev is None or n_iters <= 0:
-            pred = np.asarray(rear_apply(z))[0]
+            pred = np.asarray(inpainter.rear(z))[0]
         else:
             ph, pw = prev.shape[:2]
             ref = jnp.asarray(prev)
@@ -141,32 +205,15 @@ def refine_predict(gen: lama.FFCResNetGenerator, variables,
             m_ref = _area_resize(m_p[..., 0], ph, pw) > 1e-6
             m_ref_j = jnp.asarray(m_ref.astype(np.float32))[..., None]
 
-            tx = optax.adam(lr)
+            step, tx = inpainter.refine_step(h=h, w=w, ph=ph, pw=pw, lr=lr)
             opt_state = tx.init(z)
-
-            def loss_fn(z):
-                pred = gen.apply(variables, z, method=FFC_REAR)[0, :h, :w]
-                # area-downscale by the integer pyramid factor
-                fy, fx = h // ph, w // pw
-                pd = pred[: ph * fy, : pw * fx]
-                pd = pd.reshape(ph, fy, pw, fx, 3).mean(axis=(1, 3))
-                return jnp.sum(jnp.abs(pd - ref) * m_ref_j) / \
-                    jnp.maximum(jnp.sum(m_ref_j), 1.0)
-
-            step = jax.jit(lambda z, s: _opt_step(z, s, loss_fn, tx))
             for _ in range(n_iters):
-                z, opt_state, _ = step(z, opt_state)
-            pred = np.asarray(rear_apply(z))[0]
+                z, opt_state, _ = step(z, opt_state, ref, m_ref_j)
+            pred = np.asarray(inpainter.rear(z))[0]
 
         out = pred[:h, :w] * m_p[:h, :w] + img_l * (1 - m_p[:h, :w])
         prev = out
     return prev
-
-
-def _opt_step(z, opt_state, loss_fn, tx):
-    loss, grads = jax.value_and_grad(loss_fn)(z)
-    updates, opt_state = tx.update(grads, opt_state)
-    return optax.apply_updates(z, updates), opt_state, loss
 
 
 def load_generator(checkpoint_path=None, **kwargs):
@@ -196,6 +243,7 @@ def inpaint_directory(in_dir, out_dir, *, checkpoint_path=None,
     in_dir, out_dir = Path(in_dir), Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     gen, variables = load_generator(checkpoint_path)
+    inpainter = Inpainter(gen, variables)   # compile once for the whole dir
 
     images = sorted(p for p in in_dir.iterdir()
                     if p.suffix.lower() in (".png", ".jpg", ".jpeg")
@@ -217,9 +265,10 @@ def inpaint_directory(in_dir, out_dir, *, checkpoint_path=None,
             m = cv2.resize(m, (img.shape[1], img.shape[0]),
                            interpolation=cv2.INTER_NEAREST)
         if refine:
-            out = refine_predict(gen, variables, img, m, **refine_kwargs)
+            out = refine_predict(gen, variables, img, m,
+                                 inpainter=inpainter, **refine_kwargs)
         else:
-            out = predict(gen, variables, img, m)
+            out = predict(gen, variables, img, m, inpainter=inpainter)
         if out.shape[:2] != img.shape[:2]:
             out = _area_resize(out, img.shape[0], img.shape[1])
         cv2.imwrite(str(out_dir / (p.stem + ".png")),
