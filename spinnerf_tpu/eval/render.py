@@ -22,6 +22,50 @@ from spinnerf_tpu.data import raybank
 from spinnerf_tpu.eval.metrics import to8b
 
 
+def make_frame_renderer(hwf, field_fn, cfg: RenderConfig, *, near, far,
+                        ndc: bool = False, chunk: int = 8192,
+                        fine_field_fn=None, render_factor: int = 0):
+    """Build a jitted `(key, c2w) -> per-pixel maps` renderer.
+
+    Reuse one renderer across a pose list: an un-jitted
+    `render_rays_chunked` re-traces its whole graph for every frame
+    (seconds per pose over a 120-frame spiral video).
+    """
+    h, w, focal = hwf
+    if render_factor:
+        h, w, focal = (h // render_factor, w // render_factor,
+                       focal / render_factor)
+
+    @jax.jit
+    def _render(key, c2w):
+        batch, _ = raybank.frame_ray_batch((h, w, focal), c2w, near, far,
+                                           ndc=ndc)
+        return rendering.render_rays_chunked(key, batch, field_fn, cfg,
+                                             chunk,
+                                             fine_field_fn=fine_field_fn)
+
+    def render(key, c2w):
+        fine = _render(key, jnp.asarray(c2w)).fine
+
+        def shape(x, extra=()):
+            return np.asarray(x).reshape((h, w) + tuple(extra))
+
+        out = {
+            "rgb": shape(fine.rgb, (3,)),
+            "disp": shape(fine.disp),
+            "acc": shape(fine.acc),
+            "depth": shape(fine.depth),
+            "weights": shape(fine.weights, (fine.weights.shape[-1],)),
+            "z_vals": shape(fine.z_vals, (fine.z_vals.shape[-1],)),
+            "alpha": shape(fine.alpha, (fine.alpha.shape[-1],)),
+        }
+        if fine.prob is not None:
+            out["prob"] = shape(fine.prob)
+        return out
+
+    return render
+
+
 def render_frame(key, c2w, hwf, field_fn, cfg: RenderConfig, *,
                  near, far, ndc: bool = False, chunk: int = 8192,
                  fine_field_fn=None, render_factor: int = 0):
@@ -29,34 +73,71 @@ def render_frame(key, c2w, hwf, field_fn, cfg: RenderConfig, *,
 
     Returns dict with rgb [H,W,3], disp/acc/depth [H,W], weights/z_vals
     [H,W,S], alpha [H,W,S] (+ prob [H,W] when cfg.semantic).
+    For many poses at the same intrinsics, build `make_frame_renderer` once.
     """
-    batch, (h, w) = raybank.frame_ray_batch(hwf, c2w, near, far, ndc=ndc,
-                                            render_factor=render_factor)
-    res = rendering.render_rays_chunked(key, batch, field_fn, cfg, chunk,
-                                        fine_field_fn=fine_field_fn)
-    fine = res.fine
+    return make_frame_renderer(hwf, field_fn, cfg, near=near, far=far,
+                               ndc=ndc, chunk=chunk,
+                               fine_field_fn=fine_field_fn,
+                               render_factor=render_factor)(key, c2w)
 
-    def shape(x, extra=()):
-        return np.asarray(x).reshape((h, w) + tuple(extra))
 
-    out = {
-        "rgb": shape(fine.rgb, (3,)),
-        "disp": shape(fine.disp),
-        "acc": shape(fine.acc),
-        "depth": shape(fine.depth),
-        "weights": shape(fine.weights, (fine.weights.shape[-1],)),
-        "z_vals": shape(fine.z_vals, (fine.z_vals.shape[-1],)),
-        "alpha": shape(fine.alpha, (fine.alpha.shape[-1],)),
-    }
-    if fine.prob is not None:
-        out["prob"] = shape(fine.prob)
-    return out
+def make_param_frame_renderer(hwf, apply_fn, cfg: RenderConfig, *, near, far,
+                              ndc: bool = False, chunk: int = 8192,
+                              render_factor: int = 0):
+    """Like `make_frame_renderer` but the field params are jit ARGUMENTS:
+    `(params, key, c2w) -> maps` with params = {"coarse": ..., ["fine": ...]}.
+
+    Build ONCE per intrinsics and reuse across training — periodic
+    video/testset hooks then render with the updated weights without
+    recompiling (params as closure constants would recompile every hook).
+    """
+    h, w, focal = hwf
+    if render_factor:
+        h, w, focal = (h // render_factor, w // render_factor,
+                       focal / render_factor)
+
+    @jax.jit
+    def _render(params, key, c2w):
+        def coarse(pts, vd):
+            return apply_fn(params["coarse"], pts, vd)
+
+        if "fine" in params:
+            def fine(pts, vd):
+                return apply_fn(params["fine"], pts, vd)
+        else:
+            fine = coarse
+        batch, _ = raybank.frame_ray_batch((h, w, focal), c2w, near, far,
+                                           ndc=ndc)
+        return rendering.render_rays_chunked(key, batch, coarse, cfg, chunk,
+                                             fine_field_fn=fine)
+
+    def render(params, key, c2w):
+        fine = _render(params, key, jnp.asarray(c2w)).fine
+
+        def shape(x, extra=()):
+            return np.asarray(x).reshape((h, w) + tuple(extra))
+
+        out = {
+            "rgb": shape(fine.rgb, (3,)),
+            "disp": shape(fine.disp),
+            "acc": shape(fine.acc),
+            "depth": shape(fine.depth),
+            "weights": shape(fine.weights, (fine.weights.shape[-1],)),
+            "z_vals": shape(fine.z_vals, (fine.z_vals.shape[-1],)),
+            "alpha": shape(fine.alpha, (fine.alpha.shape[-1],)),
+        }
+        if fine.prob is not None:
+            out["prob"] = shape(fine.prob)
+        return out
+
+    return render
 
 
 def render_path(key, poses, hwf, field_fn, cfg: RenderConfig, *, near, far,
                 ndc: bool = False, chunk: int = 8192, fine_field_fn=None,
                 render_factor: int = 0, save_dir=None, gt_images=None,
-                save_alpha: bool = False, progress: bool = True):
+                save_alpha: bool = False, progress: bool = True,
+                frame_fn=None):
     """Render a pose list; optionally dump the reference's per-frame artifact
     tree (rgb/, depth/, disp/, weight/, z/, pose/, intrinsics.txt).
 
@@ -76,10 +157,11 @@ def render_path(key, poses, hwf, field_fn, cfg: RenderConfig, *, near, far,
 
     rgbs, disps = [], []
     keys = jax.random.split(key, len(poses))
+    renderer = frame_fn if frame_fn is not None else make_frame_renderer(
+        (h, w, focal), field_fn, cfg, near=near, far=far, ndc=ndc,
+        chunk=chunk, fine_field_fn=fine_field_fn)
     for i, (k, c2w) in enumerate(zip(keys, poses)):
-        maps = render_frame(k, jnp.asarray(c2w), (h, w, focal), field_fn, cfg,
-                            near=near, far=far, ndc=ndc, chunk=chunk,
-                            fine_field_fn=fine_field_fn)
+        maps = renderer(k, jnp.asarray(c2w))
         rgbs.append(maps["rgb"])
         disps.append(maps["disp"])
         if save_dir is not None:

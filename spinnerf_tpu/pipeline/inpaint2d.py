@@ -63,23 +63,26 @@ class Inpainter:
     def __init__(self, gen: lama.FFCResNetGenerator, variables):
         self.gen = gen
         self.variables = variables
-        self._full = jax.jit(lambda inp: gen.apply(variables, inp))
+        # variables are jit ARGUMENTS (not closure constants): updating the
+        # weights — e.g. scoring successive EMA snapshots during training —
+        # must not trigger a recompile
+        self._full = jax.jit(gen.apply)
         self._front = jax.jit(
-            lambda inp: gen.apply(variables, inp,
-                                  method=lambda m, x: m.front(x)))
+            lambda v, inp: gen.apply(v, inp,
+                                     method=lambda m, x: m.front(x)))
         self._rear = jax.jit(
-            lambda z: gen.apply(variables, z,
-                                method=lambda m, z_: m.rear(z_)))
+            lambda v, z: gen.apply(v, z,
+                                   method=lambda m, z_: m.rear(z_)))
         self._steps = {}
 
     def full(self, inp):
-        return self._full(inp)
+        return self._full(self.variables, inp)
 
     def front(self, inp):
-        return self._front(inp)
+        return self._front(self.variables, inp)
 
     def rear(self, z):
-        return self._rear(z)
+        return self._rear(self.variables, z)
 
     def refine_step(self, *, h, w, ph, pw, lr):
         """Jitted Adam step on the latents against the previous-scale
@@ -87,11 +90,11 @@ class Inpainter:
         key = (h, w, ph, pw, lr)
         if key in self._steps:
             return self._steps[key]
-        gen, variables = self.gen, self.variables
+        gen = self.gen
         fy, fx = h // ph, w // pw
         tx = optax.adam(lr)
 
-        def loss_fn(z, ref, m_ref):
+        def loss_fn(z, variables, ref, m_ref):
             pred = gen.apply(variables, z,
                              method=lambda m, z_: m.rear(z_))[0, :h, :w]
             pd = pred[: ph * fy, : pw * fx]
@@ -100,8 +103,9 @@ class Inpainter:
                 jnp.maximum(jnp.sum(m_ref), 1.0)
 
         @jax.jit
-        def step(z, opt_state, ref, m_ref):
-            loss, grads = jax.value_and_grad(loss_fn)(z, ref, m_ref)
+        def step(z, opt_state, variables, ref, m_ref):
+            loss, grads = jax.value_and_grad(loss_fn)(z, variables, ref,
+                                                      m_ref)
             updates, opt_state = tx.update(grads, opt_state)
             return optax.apply_updates(z, updates), opt_state, loss
 
@@ -109,16 +113,18 @@ class Inpainter:
         return self._steps[key]
 
 
-_INPAINTER_CACHE: list = []   # [(gen_id, var_id, Inpainter)] — keep last few
+_INPAINTER_CACHE: list = []   # [(gen_id, Inpainter)] — keep last few
 
 
 def _inpainter_for(gen, variables) -> Inpainter:
-    key = (id(gen), id(variables))
-    for k0, k1, inp in _INPAINTER_CACHE:
-        if (k0, k1) == key:
+    """Jit-cache per generator; refresh `variables` (a jit argument, so new
+    weights of the same shapes reuse the compiled graphs)."""
+    for gid, inp in _INPAINTER_CACHE:
+        if gid == id(gen):
+            inp.variables = variables
             return inp
     inp = Inpainter(gen, variables)
-    _INPAINTER_CACHE.append((*key, inp))
+    _INPAINTER_CACHE.append((id(gen), inp))
     del _INPAINTER_CACHE[:-4]   # bound compiled-graph retention
     return inp
 
@@ -208,7 +214,8 @@ def refine_predict(gen: lama.FFCResNetGenerator, variables,
             step, tx = inpainter.refine_step(h=h, w=w, ph=ph, pw=pw, lr=lr)
             opt_state = tx.init(z)
             for _ in range(n_iters):
-                z, opt_state, _ = step(z, opt_state, ref, m_ref_j)
+                z, opt_state, _ = step(z, opt_state, inpainter.variables,
+                                       ref, m_ref_j)
             pred = np.asarray(inpainter.rear(z))[0]
 
         out = pred[:h, :w] * m_p[:h, :w] + img_l * (1 - m_p[:h, :w])

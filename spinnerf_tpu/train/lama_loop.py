@@ -152,6 +152,9 @@ def train_inpainter(indir, exp_dir, *, n_steps: int = 1000,
     rng = np.random.RandomState(seed)
     metrics_path = exp_dir / "metrics.jsonl"
     mfile = open(metrics_path, "a")
+    # hoisted: a fresh jax.jit(gen.apply) per i_vis hit recompiles the
+    # generator graph every visualization
+    ema_apply = jax.jit(gen.apply)
 
     start = int(state.step)
     for i in range(start, n_steps):
@@ -171,7 +174,7 @@ def train_inpainter(indir, exp_dir, *, n_steps: int = 1000,
             import jax.numpy as jnp
             masked = crops * (1.0 - masks)
             inp = jnp.asarray(np.concatenate([masked, masks], -1))
-            preds = np.asarray(jax.jit(gen.apply)(
+            preds = np.asarray(ema_apply(
                 {"params": state.ema_params,
                  "batch_stats": state.gen_vars["batch_stats"]}, inp))
             visualize_batch(crops, masks, preds,

@@ -208,16 +208,32 @@ class Trainer:
             return self.model.apply(params["fine"], pts, vd)
         return coarse, fine
 
+    def _frame_renderer(self, render_factor: int):
+        """Persistent jitted frame renderer (params are jit args): repeated
+        video/testset hooks render with fresh weights, zero recompiles."""
+        cache = getattr(self, "_frame_renderers", None)
+        if cache is None:
+            cache = self._frame_renderers = {}
+        if render_factor not in cache:
+            cache[render_factor] = eval_render.make_param_frame_renderer(
+                self.scene.hwf, self.model.apply,
+                render_config(self.cfg, train=False), near=self.bank.near,
+                far=self.bank.far, ndc=self.bank.ndc, chunk=self.cfg.chunk,
+                render_factor=render_factor)
+        return cache[render_factor]
+
     def render_poses_list(self, poses, *, render_factor=None, save_dir=None,
                           gt_images=None, save_alpha=False):
-        coarse_fn, fine_fn = self.field_fns()
         rf = self.cfg.render_factor if render_factor is None else render_factor
+        renderer = self._frame_renderer(rf)
+        params = self.state.params
         return eval_render.render_path(
-            jax.random.PRNGKey(0), poses, self.scene.hwf, coarse_fn,
+            jax.random.PRNGKey(0), poses, self.scene.hwf, None,
             render_config(self.cfg, train=False), near=self.bank.near,
             far=self.bank.far, ndc=self.bank.ndc, chunk=self.cfg.chunk,
-            fine_field_fn=fine_fn, render_factor=rf, save_dir=save_dir,
-            gt_images=gt_images, save_alpha=save_alpha)
+            render_factor=rf, save_dir=save_dir,
+            gt_images=gt_images, save_alpha=save_alpha,
+            frame_fn=lambda k, c2w: renderer(params, k, c2w))
 
     # --- cadence hooks -------------------------------------------------------
 
