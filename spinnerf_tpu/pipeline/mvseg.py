@@ -41,13 +41,13 @@ def render_masks(trainer, poses, *, threshold: float = 0.5,
     coarse_fn, fine_fn = trainer.field_fns()
     rcfg = trainer.tcfg.render._replace(perturb=False, raw_noise_std=0.0,
                                         semantic=True)
+    renderer = eval_render.make_frame_renderer(
+        trainer.scene.hwf, coarse_fn, rcfg, near=trainer.bank.near,
+        far=trainer.bank.far, ndc=trainer.bank.ndc, chunk=cfg.chunk,
+        fine_field_fn=fine_fn, render_factor=render_factor)
     out = []
     for i, c2w in enumerate(poses):
-        maps = eval_render.render_frame(
-            jax.random.PRNGKey(i), jnp.asarray(c2w), trainer.scene.hwf,
-            coarse_fn, rcfg, near=trainer.bank.near, far=trainer.bank.far,
-            ndc=trainer.bank.ndc, chunk=cfg.chunk, fine_field_fn=fine_fn,
-            render_factor=render_factor)
+        maps = renderer(jax.random.PRNGKey(i), jnp.asarray(c2w))
         logit_thresh = np.log(threshold / (1.0 - threshold))
         m = (maps["prob"] > logit_thresh).astype(np.float32)
         if opening:
@@ -107,13 +107,13 @@ def render_object_removed(trainer, poses, *, bg_key=None,
     rcfg = trainer.tcfg.render._replace(
         perturb=False, raw_noise_std=0.0, semantic=True, only_object=True,
         oo_threshold=threshold)
+    renderer = eval_render.make_frame_renderer(
+        trainer.scene.hwf, coarse_fn, rcfg, near=trainer.bank.near,
+        far=trainer.bank.far, ndc=trainer.bank.ndc, chunk=cfg.chunk,
+        fine_field_fn=fine_fn, render_factor=render_factor)
     rgbs = []
     for i, c2w in enumerate(poses):
-        maps = eval_render.render_frame(
-            jax.random.PRNGKey(i), jnp.asarray(c2w), trainer.scene.hwf,
-            coarse_fn, rcfg, near=trainer.bank.near, far=trainer.bank.far,
-            ndc=trainer.bank.ndc, chunk=cfg.chunk, fine_field_fn=fine_fn,
-            render_factor=render_factor)
+        maps = renderer(jax.random.PRNGKey(i), jnp.asarray(c2w))
         rgb = maps["rgb"]
         if bg_key is not None:
             bg = np.asarray(jax.random.uniform(
