@@ -201,15 +201,23 @@ def render_rays(key, ray_batch: dict, field_fn: FieldFn, cfg: RenderConfig,
 
 def render_rays_chunked(key, ray_batch: dict, field_fn: FieldFn,
                         cfg: RenderConfig, chunk: int,
-                        fine_field_fn: FieldFn | None = None) -> RenderResult:
+                        fine_field_fn: FieldFn | None = None,
+                        mesh=None) -> RenderResult:
     """Render a large (host-resident) ray batch in fixed-size chunks.
 
     The TPU replacement for `batchify_rays` (`DS_NeRF/run_nerf.py:74-87`):
     pads to a multiple of `chunk`, runs a `lax.map` over chunks (one compiled
     program, serial over chunks to bound memory), and strips the padding.
     Used for full-frame rendering; training batches are sized to fit directly.
+
+    mesh: optional `jax.sharding.Mesh` — each chunk's ray axis is sharded
+    over the mesh's first axis (pixel-parallel frame rendering across chips;
+    GSPMD partitions the field eval and gathers the maps over ICI).
     """
     n = ray_batch["origins"].shape[0]
+    if mesh is not None:
+        n_dev = mesh.devices.size
+        chunk = -(-chunk // n_dev) * n_dev   # chunk divisible by mesh size
     n_chunks = -(-n // chunk)
     pad = n_chunks * chunk - n
 
@@ -223,6 +231,16 @@ def render_rays_chunked(key, ray_batch: dict, field_fn: FieldFn,
 
     def body(args):
         k, rb = args
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            axis = mesh.axis_names[0]
+
+            def constrain(v):
+                spec = PartitionSpec(axis, *([None] * (v.ndim - 1)))
+                return jax.lax.with_sharding_constraint(
+                    v, NamedSharding(mesh, spec))
+
+            rb = {kk: constrain(v) for kk, v in rb.items()}
         return render_rays(k, rb, field_fn, cfg, fine_field_fn)
 
     out = jax.lax.map(body, (keys, chunked))

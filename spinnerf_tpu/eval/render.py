@@ -24,7 +24,8 @@ from spinnerf_tpu.eval.metrics import to8b
 
 def make_frame_renderer(hwf, field_fn, cfg: RenderConfig, *, near, far,
                         ndc: bool = False, chunk: int = 8192,
-                        fine_field_fn=None, render_factor: int = 0):
+                        fine_field_fn=None, render_factor: int = 0,
+                        mesh=None):
     """Build a jitted `(key, c2w) -> per-pixel maps` renderer.
 
     Reuse one renderer across a pose list: an un-jitted
@@ -42,7 +43,8 @@ def make_frame_renderer(hwf, field_fn, cfg: RenderConfig, *, near, far,
                                            ndc=ndc)
         return rendering.render_rays_chunked(key, batch, field_fn, cfg,
                                              chunk,
-                                             fine_field_fn=fine_field_fn)
+                                             fine_field_fn=fine_field_fn,
+                                             mesh=mesh)
 
     def render(key, c2w):
         fine = _render(key, jnp.asarray(c2w)).fine
@@ -83,7 +85,7 @@ def render_frame(key, c2w, hwf, field_fn, cfg: RenderConfig, *,
 
 def make_param_frame_renderer(hwf, apply_fn, cfg: RenderConfig, *, near, far,
                               ndc: bool = False, chunk: int = 8192,
-                              render_factor: int = 0):
+                              render_factor: int = 0, mesh=None):
     """Like `make_frame_renderer` but the field params are jit ARGUMENTS:
     `(params, key, c2w) -> maps` with params = {"coarse": ..., ["fine": ...]}.
 
@@ -109,7 +111,7 @@ def make_param_frame_renderer(hwf, apply_fn, cfg: RenderConfig, *, near, far,
         batch, _ = raybank.frame_ray_batch((h, w, focal), c2w, near, far,
                                            ndc=ndc)
         return rendering.render_rays_chunked(key, batch, coarse, cfg, chunk,
-                                             fine_field_fn=fine)
+                                             fine_field_fn=fine, mesh=mesh)
 
     def render(params, key, c2w):
         fine = _render(params, key, jnp.asarray(c2w)).fine

@@ -219,7 +219,7 @@ class Trainer:
                 self.scene.hwf, self.model.apply,
                 render_config(self.cfg, train=False), near=self.bank.near,
                 far=self.bank.far, ndc=self.bank.ndc, chunk=self.cfg.chunk,
-                render_factor=render_factor)
+                render_factor=render_factor, mesh=self.mesh)
         return cache[render_factor]
 
     def render_poses_list(self, poses, *, render_factor=None, save_dir=None,

@@ -66,3 +66,39 @@ def test_to8b_nan_safe():
     assert out.dtype == np.uint8
     assert out[0, 0] == 0 and out[0, 1] == 127
     assert out[1, 0] == 255 and out[1, 1] == 0
+
+
+def test_sharded_frame_render_matches_single_device(rng):
+    """Pixel-sharded frame rendering over the 8-device mesh must reproduce
+    the single-device render (SURVEY §2.6: eval/render sharding)."""
+    import jax
+    import jax.numpy as jnp
+    from spinnerf_tpu.core.rendering import RenderConfig
+    from spinnerf_tpu.data import synthetic
+    from spinnerf_tpu.eval import render as eval_render
+    from spinnerf_tpu.models.fields import NeRFField
+    from spinnerf_tpu.parallel import mesh as mesh_lib
+
+    model = NeRFField(depth=2, width=32, multires=4, multires_views=2,
+                      compute_dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 2, 3)),
+                        jnp.zeros((1, 3)))
+
+    def field(pts, vd):
+        return model.apply(params, pts, vd)
+
+    cfg = RenderConfig(n_samples=8, n_importance=8, perturb=False,
+                       raw_noise_std=0.0)
+    c2w = jnp.asarray(synthetic.look_at_pose(
+        np.array([3.0, 1.0, 1.5]))[:3, :4])
+    kwargs = dict(near=1.0, far=7.0, chunk=1024)
+    single = eval_render.make_frame_renderer((16, 24, 20.0), field, cfg,
+                                             **kwargs)
+    sharded = eval_render.make_frame_renderer((16, 24, 20.0), field, cfg,
+                                              mesh=mesh_lib.make_mesh(),
+                                              **kwargs)
+    k = jax.random.PRNGKey(3)
+    a = single(k, c2w)
+    b = sharded(k, c2w)
+    np.testing.assert_allclose(a["rgb"], b["rgb"], atol=1e-5)
+    np.testing.assert_allclose(a["depth"], b["depth"], atol=1e-4)
