@@ -16,6 +16,7 @@ argument (GSPMD shards the batch axis; the psum is XLA's).
 from __future__ import annotations
 
 import json
+import time
 from pathlib import Path
 
 import jax
@@ -157,6 +158,7 @@ def train_inpainter(indir, exp_dir, *, n_steps: int = 1000,
     ema_apply = jax.jit(gen.apply)
 
     start = int(state.step)
+    t_print = time.time()
     for i in range(start, n_steps):
         idx = rng.choice(len(images), batch_size)
         crops, masks = make_batch([images[j] for j in idx], mask_gen, rng,
@@ -166,10 +168,14 @@ def train_inpainter(indir, exp_dir, *, n_steps: int = 1000,
 
         if i_print and (i % i_print == 0 or i == n_steps - 1):
             m = {k: float(v) for k, v in metrics.items()}
+            dt = time.time() - t_print
+            t_print = time.time()
+            rate = batch_size * i_print / dt if i else 0.0
             mfile.write(json.dumps({"step": i, **m}) + "\n")
             mfile.flush()
             log(f"[{i}/{n_steps}] g_total {m['g_total']:.4f} "
-                f"d_total {m['d_total']:.4f} g_l1 {m['g_l1']:.4f}")
+                f"d_total {m['d_total']:.4f} g_l1 {m['g_l1']:.4f} "
+                f"({rate:.1f} img/s)")
         if i_vis and i % i_vis == 0:
             import jax.numpy as jnp
             masked = crops * (1.0 - masks)
