@@ -78,3 +78,37 @@ def test_save_roundtrip(tmp_path):
     text = (tmp_path / "x" / "args.txt").read_text()
     assert "N_rand = 512" in text
     assert "expname = x" in text
+
+
+REFERENCE_FLAGS = [
+    "N_gt", "N_importance", "N_iters", "N_rand", "N_samples", "N_train",
+    "alpha_model_path", "basedir", "chunk", "clf_reg_weight",
+    "clf_weight", "colmap_depth", "datadir", "dataset_type", "debug",
+    "depth_lambda", "depth_loss", "depth_with_rgb", "expname", "factor",
+    "feat_weight", "feature_field", "ft_path", "half_res", "i_embed",
+    "i_feat", "i_img", "i_print", "i_testset", "i_video", "i_weights",
+    "lindisp", "llffhold", "lpips", "lpips_batch_size",
+    "lpips_render_factor", "lrate", "lrate_decay", "masked_NeRF",
+    "multires", "multires_views", "netchunk", "netdepth", "netdepth_fine",
+    "netwidth", "netwidth_fine", "no_batching", "no_coarse",
+    "no_geometry", "no_ndc", "no_reload", "no_tcnn", "normalize_depth",
+    "object_removal", "patch_len_factor", "perturb", "post_opening",
+    "precrop_frac", "precrop_iters", "prepare", "raw_noise_std",
+    "relative_loss", "render_factor", "render_mask", "render_mypath",
+    "render_only", "render_test", "render_test_ray", "render_train",
+    "shape", "sigma_lambda", "sigma_loss", "spherify", "test_scene",
+    "testskip", "tmp_images", "train_gt", "train_scene", "use_viewdirs",
+    "weighted_loss", "white_bkgd"
+]
+
+
+def test_reference_flag_surface_complete():
+    """Every configargparse flag of the reference trainer/MVSeg CLIs
+    (`DS_NeRF/run_nerf.py:740-925`, `MVSeg/DS_NeRF/run_nerf.py:888-895`)
+    exists as a `Config` field — a user's reference config.txt parses
+    against this framework without edits."""
+    import dataclasses
+    from spinnerf_tpu.config import Config
+    ours = {f.name for f in dataclasses.fields(Config)}
+    missing = sorted(set(REFERENCE_FLAGS) - ours)
+    assert not missing, f"reference flags without Config fields: {missing}"
