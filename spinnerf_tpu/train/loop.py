@@ -295,6 +295,26 @@ class Trainer:
         sanity_panel(rgbs[0], prior, disps[0],
                      out / f"{self.cfg.expname}_{step:06d}.png")
 
+    def _mvseg_panel_hook(self, step):
+        """MVSeg every-i_img sanity image: rendered rgb next to the sigmoid
+        objectness map of one train view (`MVSeg/DS_NeRF/run_nerf.py:
+        1334-1360`), written under <expdir>/test_renders/."""
+        import numpy as np
+        idx = int(np.random.RandomState(step).choice(self.i_train))
+        renderer = self._frame_renderer(self.cfg.render_factor)
+        maps = renderer(self.state.params, jax.random.PRNGKey(step),
+                        jnp.asarray(self.scene.poses[idx]))
+        out = self.exp_dir / "test_renders"
+        out.mkdir(exist_ok=True)
+        rgb = np.clip(maps["rgb"], 0, 1)
+        prob = 1.0 / (1.0 + np.exp(-maps.get("prob", np.zeros(rgb.shape[:2]))))
+        panel = np.concatenate([rgb, np.repeat(prob[..., None], 3, -1)],
+                               axis=1)
+        from spinnerf_tpu.eval.metrics import to8b
+        import imageio.v2 as imageio
+        imageio.imwrite(out / f"{self.cfg.expname}_seg_{step:06d}.png",
+                        to8b(panel))
+
     # --- main loop -----------------------------------------------------------
 
     def fit(self, n_iters: int | None = None, *, hooks: bool = True):
@@ -334,6 +354,9 @@ class Trainer:
                 elif (not cfg.prepare and cfg.i_feat > 10
                         and i % cfg.i_feat == 0 and i > 0):
                     self._sanity_panel_hook(i)
+                if (cfg.mvseg and cfg.i_img and i % cfg.i_img == 0
+                        and i > 0):
+                    self._mvseg_panel_hook(i)
         self.state = state
         if hooks:
             self.ckpt.wait()   # drain async orbax writes before returning

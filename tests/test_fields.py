@@ -108,3 +108,21 @@ def test_field_jit_and_grad(rng):
     assert np.isfinite(float(loss(params)))
     gmax = max(np.abs(np.asarray(x)).max() for x in jax.tree.leaves(g))
     assert gmax > 0 and np.isfinite(gmax)
+
+
+def test_trunc_exp_forward_and_clamped_grad():
+    """trunc_exp: forward is exp; backward is exp of the CLAMPED input
+    (`DS_NeRF/activation.py:5-18`) — finite gradients at extreme sigmas."""
+    import jax
+    import jax.numpy as jnp
+    from spinnerf_tpu.models.activations import trunc_exp
+    x = jnp.asarray([-20.0, -1.0, 0.0, 1.0, 14.0])
+    np.testing.assert_allclose(np.asarray(trunc_exp(x)), np.exp(np.asarray(x)),
+                               rtol=1e-6)
+    g = jax.grad(lambda v: trunc_exp(v).sum())(x)
+    want = np.exp(np.clip(np.asarray(x), -15.0, 15.0))
+    np.testing.assert_allclose(np.asarray(g), want, rtol=1e-6)
+    # the clamp's point: at x=20 plain exp grad overflows f32 scale growth;
+    # trunc_exp grad stays at exp(15)
+    g_big = jax.grad(lambda v: trunc_exp(v).sum())(jnp.asarray([20.0]))
+    np.testing.assert_allclose(float(g_big[0]), np.exp(15.0), rtol=1e-6)

@@ -97,3 +97,15 @@ def test_export_masks_writes_dataset_layout(trainer, scene_dir):
     sc = llff.load_scene(scene_dir, factor=1, mask_subdir="label_lifted",
                          dilate_iterations=0)
     assert sc.masks.shape == (6, 36, 44)
+
+
+def test_mvseg_i_img_panel_hook(trainer):
+    """`--i_img` cadence writes the rgb|prob sanity image
+    (`MVSeg/DS_NeRF/run_nerf.py:1334-1360`)."""
+    trainer.cfg.i_img = 2
+    try:
+        trainer.fit(n_iters=trainer.state.step + 3)
+    finally:
+        trainer.cfg.i_img = 0
+    panels = list((trainer.exp_dir / "test_renders").glob("mv_seg_*.png"))
+    assert panels, "no mvseg sanity panel written"
