@@ -143,8 +143,14 @@ class Trainer:
         self.tcfg = train_config(cfg)
         self.tx = schedule.make_optimizer(cfg.lrate, cfg.lrate_decay,
                                           cfg.grad_clip)
-        self.mesh = mesh if mesh is not None else (
-            mesh_lib.make_mesh() if jax.device_count() > 1 else None)
+        if mesh is not None:
+            self.mesh = mesh
+        elif cfg.mesh_shape > 0:
+            self.mesh = mesh_lib.make_mesh(
+                jax.devices()[:cfg.mesh_shape])
+        else:
+            self.mesh = (mesh_lib.make_mesh()
+                         if jax.device_count() > 1 else None)
 
         if lpips_fn is None and cfg.lpips and self.scene.masks is not None:
             from spinnerf_tpu.models.lpips import load_lpips

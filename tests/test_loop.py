@@ -80,3 +80,17 @@ def test_testset_hook_writes_artifacts(scene_dir, tmp_path):
     assert len(list((tdir / "rgb").glob("*.png"))) == 2
     assert len(list((tdir / "pose").glob("*.txt"))) == 2
     assert (tdir / "intrinsics.txt").exists()
+
+
+def test_mesh_shape_limits_devices(scene_dir, tmp_path):
+    """`--mesh_shape N` trains on the first N devices of the 8-device mesh."""
+    from spinnerf_tpu.config import Config
+    from spinnerf_tpu.train.loop import Trainer
+    cfg = Config(expname="mesh2", basedir=str(tmp_path), datadir=str(scene_dir),
+                 factor=1, no_ndc=True, no_tcnn=True, netdepth=2, netwidth=32,
+                 multires=4, multires_views=2, N_samples=8, N_importance=0,
+                 N_rand=64, i_print=1000, i_weights=0, i_video=0, i_testset=0,
+                 i_feat=0, chunk=2048, compute_dtype="float32", mesh_shape=2)
+    tr = Trainer(cfg, log=lambda *a: None)
+    assert tr.mesh is not None and tr.mesh.devices.size == 2
+    tr.fit(n_iters=2, hooks=False)
