@@ -142,7 +142,10 @@ def main(argv=None):
         from spinnerf_tpu.pipeline.stages import run_pipeline
         # per-stage budgets (the reference trains each stage with its own
         # N_iters: mvseg 4000, prepare 4001, fit 10001 — README.md:65,140)
-        ap = argparse.ArgumentParser("spinnerf pipeline", add_help=False)
+        # allow_abbrev=False: prefix matching must not steal the Config
+        # flags --mvseg/--prepare as abbreviations of --mvseg_iters/...
+        ap = argparse.ArgumentParser("spinnerf pipeline", add_help=False,
+                                     allow_abbrev=False)
         ap.add_argument("--mvseg_iters", type=int, default=None)
         ap.add_argument("--prepare_iters", type=int, default=None)
         ap.add_argument("--fit_iters", type=int, default=None)

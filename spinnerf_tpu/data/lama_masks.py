@@ -186,7 +186,10 @@ class RampedGenerator:
 
     def __call__(self, h, w, rng, iter_i=None, **kwargs):
         coef = self.ramp(iter_i) if iter_i is not None else 1.0
-        scaled = {k: (int(v * coef) if isinstance(v, int) else v * coef)
+        # int kwargs floor at 1 (the reference's `int(max(1, coef*v))`) —
+        # a 0 max_len/max_width would crash the irregular generator
+        scaled = {k: (max(1, int(v * coef)) if isinstance(v, int)
+                      else v * coef)
                   for k, v in self.ramped_kwargs.items()}
         return self.gen(h, w, rng, **scaled, **kwargs)
 

@@ -22,6 +22,25 @@ from spinnerf_tpu.data import raybank
 from spinnerf_tpu.eval.metrics import to8b
 
 
+def _maps_from_fine(fine, h, w):
+    """Package a RenderResult.fine into the per-pixel numpy maps dict."""
+    def shape(x, extra=()):
+        return np.asarray(x).reshape((h, w) + tuple(extra))
+
+    out = {
+        "rgb": shape(fine.rgb, (3,)),
+        "disp": shape(fine.disp),
+        "acc": shape(fine.acc),
+        "depth": shape(fine.depth),
+        "weights": shape(fine.weights, (fine.weights.shape[-1],)),
+        "z_vals": shape(fine.z_vals, (fine.z_vals.shape[-1],)),
+        "alpha": shape(fine.alpha, (fine.alpha.shape[-1],)),
+    }
+    if fine.prob is not None:
+        out["prob"] = shape(fine.prob)
+    return out
+
+
 def make_frame_renderer(hwf, field_fn, cfg: RenderConfig, *, near, far,
                         ndc: bool = False, chunk: int = 8192,
                         fine_field_fn=None, render_factor: int = 0,
@@ -47,23 +66,7 @@ def make_frame_renderer(hwf, field_fn, cfg: RenderConfig, *, near, far,
                                              mesh=mesh)
 
     def render(key, c2w):
-        fine = _render(key, jnp.asarray(c2w)).fine
-
-        def shape(x, extra=()):
-            return np.asarray(x).reshape((h, w) + tuple(extra))
-
-        out = {
-            "rgb": shape(fine.rgb, (3,)),
-            "disp": shape(fine.disp),
-            "acc": shape(fine.acc),
-            "depth": shape(fine.depth),
-            "weights": shape(fine.weights, (fine.weights.shape[-1],)),
-            "z_vals": shape(fine.z_vals, (fine.z_vals.shape[-1],)),
-            "alpha": shape(fine.alpha, (fine.alpha.shape[-1],)),
-        }
-        if fine.prob is not None:
-            out["prob"] = shape(fine.prob)
-        return out
+        return _maps_from_fine(_render(key, jnp.asarray(c2w)).fine, h, w)
 
     return render
 
@@ -114,23 +117,8 @@ def make_param_frame_renderer(hwf, apply_fn, cfg: RenderConfig, *, near, far,
                                              fine_field_fn=fine, mesh=mesh)
 
     def render(params, key, c2w):
-        fine = _render(params, key, jnp.asarray(c2w)).fine
-
-        def shape(x, extra=()):
-            return np.asarray(x).reshape((h, w) + tuple(extra))
-
-        out = {
-            "rgb": shape(fine.rgb, (3,)),
-            "disp": shape(fine.disp),
-            "acc": shape(fine.acc),
-            "depth": shape(fine.depth),
-            "weights": shape(fine.weights, (fine.weights.shape[-1],)),
-            "z_vals": shape(fine.z_vals, (fine.z_vals.shape[-1],)),
-            "alpha": shape(fine.alpha, (fine.alpha.shape[-1],)),
-        }
-        if fine.prob is not None:
-            out["prob"] = shape(fine.prob)
-        return out
+        return _maps_from_fine(_render(params, key, jnp.asarray(c2w)).fine,
+                               h, w)
 
     return render
 

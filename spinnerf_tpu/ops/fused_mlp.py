@@ -575,6 +575,7 @@ def _fused_pe_impl(dims, block, weights, xd):
     n_w = len(names)
     out_dim = 4 + dims.out_extra
     kernel = functools.partial(_fwd_pe_kernel, dims, n_w)
+    cast = _cast_matmul_weights(weights, dims)
     in_specs = [pl.BlockSpec((block, 8), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)]
     for _ in range(_N_PE + n_w):
@@ -590,8 +591,7 @@ def _fused_pe_impl(dims, block, weights, xd):
             flops=int(2 * p * 1.2e6 / 1e3), bytes_accessed=p * 48,
             transcendentals=p * 90),
         interpret=jax.default_backend() == "cpu",
-    )(xd, *_pe_args(dims), *[_cast_matmul_weights(weights, dims)[n]
-                             for n in names])
+    )(xd, *_pe_args(dims), *[cast[n] for n in names])
 
 
 def _fused_pe_fwd(dims, block, weights, xd):
@@ -621,6 +621,7 @@ def _fused_pe_bwd(dims, block, res, g):
         out_shapes.append(jax.ShapeDtypeStruct(w.shape, jnp.float32))
 
     kernel = functools.partial(_bwd_pe_kernel, dims, n_w)
+    cast = _cast_matmul_weights(weights, dims)
     outs = pl.pallas_call(
         kernel,
         grid=(p // block,),
@@ -631,8 +632,7 @@ def _fused_pe_bwd(dims, block, res, g):
             flops=int(4 * p * 1.2e6 / 1e3), bytes_accessed=p * 64,
             transcendentals=p * 90),
         interpret=jax.default_backend() == "cpu",
-    )(xd, *_pe_args(dims), *[_cast_matmul_weights(weights, dims)[n]
-                             for n in names], g)
+    )(xd, *_pe_args(dims), *[cast[n] for n in names], g)
 
     dws = {n: outs[i] for i, n in enumerate(names)}
     return (dws, jnp.zeros_like(xd))

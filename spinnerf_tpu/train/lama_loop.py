@@ -159,18 +159,21 @@ def train_inpainter(indir, exp_dir, *, n_steps: int = 1000,
 
     start = int(state.step)
     t_print = time.time()
+    steps_since_print = 0
     for i in range(start, n_steps):
         idx = rng.choice(len(images), batch_size)
         crops, masks = make_batch([images[j] for j in idx], mask_gen, rng,
                                   crop=crop)
         key, sub = jax.random.split(key)
         state, metrics = step_fn(state, crops, masks, sub)
+        steps_since_print += 1
 
         if i_print and (i % i_print == 0 or i == n_steps - 1):
             m = {k: float(v) for k, v in metrics.items()}
             dt = time.time() - t_print
             t_print = time.time()
-            rate = batch_size * i_print / dt if i else 0.0
+            rate = batch_size * steps_since_print / dt
+            steps_since_print = 0
             mfile.write(json.dumps({"step": i, **m}) + "\n")
             mfile.flush()
             log(f"[{i}/{n_steps}] g_total {m['g_total']:.4f} "

@@ -172,6 +172,9 @@ class Trainer:
                 raise FileNotFoundError(
                     f"no checkpoint under {cfg.alpha_model_path}")
             fparams = frozen["params"]
+            if self.mesh is not None:
+                fparams = jax.device_put(fparams,
+                                         mesh_lib.replicated(self.mesh))
             fkey = "fine" if "fine" in fparams else "coarse"
 
             def frozen_raw_fn(pts, vd, _p=fparams[fkey]):
@@ -195,6 +198,12 @@ class Trainer:
             step, restored = self.ckpt.restore(
                 like={"params": params, "opt_state": opt_state})
             if step is not None:
+                if self.mesh is not None:
+                    # restored arrays come back committed to one device;
+                    # replicate over the mesh so sharded step/render jits
+                    # accept them
+                    restored = jax.device_put(
+                        restored, mesh_lib.replicated(self.mesh))
                 self.state = TrainState(params=restored["params"],
                                         opt_state=restored["opt_state"],
                                         step=step)
