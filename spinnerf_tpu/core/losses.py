@@ -83,7 +83,13 @@ def sigma_loss(raw_sigma):
       raw_sigma: [B, S] relu-activated densities (last sample at GT depth).
     Returns: [B] per-ray loss.
     """
-    return -jnp.exp(raw_sigma[:, -1]) / (jnp.sum(jnp.exp(raw_sigma), axis=1) + 1.0)
+    # log-sum-exp shift: plain exp overflows f32 at sigma > ~88 (routine for
+    # trained NeRF densities), turning the ratio into inf/inf = NaN. The +1
+    # in the denominator is exp(0), so fold 0 into the max.
+    m = jnp.maximum(jnp.max(raw_sigma, axis=1), 0.0)
+    num = jnp.exp(raw_sigma[:, -1] - m)
+    den = jnp.sum(jnp.exp(raw_sigma - m[:, None]), axis=1) + jnp.exp(-m)
+    return -num / den
 
 
 def bce_with_logits(logits, labels, mask=None):

@@ -116,7 +116,14 @@ def composite(raw, z_vals, rays_d, *, raw_noise_std: float = 0.0,
 
     depth_map = jnp.sum(weights * z_vals, axis=-1)
     acc_map = jnp.sum(weights, axis=-1)
-    disp_map = 1.0 / jnp.maximum(1e-10, depth_map / acc_map)
+    # double-where: an all-empty ray (acc == 0) must yield finite disp AND
+    # finite gradients. A bare depth/acc is 0/0 = NaN there, and because the
+    # fused train batch backprops a (zero) cotangent through every ray's
+    # disp, 0 * NaN would poison ALL gradients — a loss-side isnan guard
+    # cannot fix that (the reference filters host-side, `run_nerf.py:1520`).
+    mean_z = depth_map / jnp.maximum(acc_map, 1e-10)
+    disp_map = jnp.where(acc_map > 1e-8,
+                         1.0 / jnp.maximum(1e-10, mean_z), 0.0)
 
     if white_bkgd:
         rgb_map = rgb_map + (1.0 - acc_map[..., None])

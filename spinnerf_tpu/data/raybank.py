@@ -33,6 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from spinnerf_tpu.core import rays as ray_lib
+from spinnerf_tpu.parallel import mesh as mesh_lib
 
 
 def dataclasses_static():
@@ -136,9 +137,12 @@ def build_raybank(scene, i_train, *, depth_list=None, prepare: bool = False,
                      ("clf", all_idx[flat_labels == 0]),
                      ("inp", all_idx[flat_labels != 0]))
 
+    cache = {}   # groups sharing a source array share ONE device buffer
     for name, idx in group_idx:
-        padded, count = _pad_idx(idx)
-        groups[name] = RayGroup(idx=jnp.asarray(padded), count=count)
+        if id(idx) not in cache:
+            padded, count = _pad_idx(idx)
+            cache[id(idx)] = RayGroup(idx=jnp.asarray(padded), count=count)
+        groups[name] = cache[id(idx)]
 
     depth_group = None
     if depth_list is not None:
@@ -162,8 +166,7 @@ def build_raybank(scene, i_train, *, depth_list=None, prepare: bool = False,
         depth = np.concatenate(depths)
         weight = np.concatenate(weights)
         k = len(view)
-        padded_len = ((max(k, 1) + 1023) // 1024) * 1024
-        pad = padded_len - k
+        pad = mesh_lib.pad_to_multiple(max(k, 1), 1024) - k
         depth_group = DepthRayGroup(
             view=jnp.asarray(np.pad(view, (0, pad))),
             coord=jnp.asarray(np.pad(coord, ((0, pad), (0, 0)))),
@@ -202,6 +205,18 @@ def rays_for_pixels(poses, hwf, view, x, y):
     return rays_o, rays_d
 
 
+def _finish_ray_batch(bank, rays_o, rays_d, **extra):
+    """Shared NDC warp + batch assembly for the bank samplers: normalized
+    viewdirs are captured BEFORE the NDC warp (`run_nerf.py:110-121`)."""
+    h, w, focal = bank.hwf
+    viewdirs = None
+    if bank.ndc:
+        viewdirs = ray_lib.normalize(rays_d)
+        rays_o, rays_d = ray_lib.ndc_rays(h, w, focal, 1.0, rays_o, rays_d)
+    return ray_lib.make_ray_batch(rays_o, rays_d, bank.near, bank.far,
+                                  viewdirs=viewdirs, **extra)
+
+
 def sample_group(key, bank: RayBank, name: str, batch_size: int):
     """Draw a random ray batch from a pixel group (uniform with replacement).
 
@@ -216,12 +231,7 @@ def sample_group(key, bank: RayBank, name: str, batch_size: int):
     rays_o, rays_d = rays_for_pixels(bank.poses, bank.hwf, view,
                                      col.astype(jnp.float32),
                                      row.astype(jnp.float32))
-    viewdirs = None
-    if bank.ndc:
-        viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
-        rays_o, rays_d = ray_lib.ndc_rays(h, w, focal, 1.0, rays_o, rays_d)
-    batch = ray_lib.make_ray_batch(rays_o, rays_d, bank.near, bank.far,
-                                   viewdirs=viewdirs)
+    batch = _finish_ray_batch(bank, rays_o, rays_d)
     targets = {
         "rgb": bank.images[view, row, col],
         "label": bank.labels[view, row, col],
@@ -240,14 +250,8 @@ def sample_depth_group(key, bank: RayBank, batch_size: int):
     coord = g.coord[i]
     rays_o, rays_d = rays_for_pixels(bank.poses, bank.hwf, view,
                                      coord[:, 0], coord[:, 1])
-    viewdirs = None
-    if bank.ndc:
-        viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
-        rays_o, rays_d = ray_lib.ndc_rays(h, w, focal, 1.0, rays_o, rays_d)
-    batch = ray_lib.make_ray_batch(rays_o, rays_d, bank.near, bank.far,
-                                   viewdirs=viewdirs,
-                                   depths=g.depth[i], weights=g.weight[i])
-    return batch
+    return _finish_ray_batch(bank, rays_o, rays_d,
+                             depths=g.depth[i], weights=g.weight[i])
 
 
 def frame_ray_batch(bank_or_hwf, c2w, near, far, ndc: bool = False,
@@ -282,23 +286,22 @@ def sample_single_image(key, bank: RayBank, batch_size: int, step_idx,
     view = jax.random.randint(k_view, (), 0, n_views)
 
     use_crop = step_idx < precrop_iters if precrop_iters > 0 else False
-    dh = jnp.where(use_crop, int(h // 2 * precrop_frac), h // 2)
-    dw = jnp.where(use_crop, int(w // 2 * precrop_frac), w // 2)
-    row = h // 2 + jax.random.randint(k_row, (batch_size,), -dh, dh)
-    col = w // 2 + jax.random.randint(k_col, (batch_size,), -dw, dw)
-    row = jnp.clip(row, 0, h - 1)
-    col = jnp.clip(col, 0, w - 1)
+    # full-image bounds are [0, h) x [0, w) — a centered-offset formulation
+    # (h//2 ± h//2) never reaches the last row/column when h or w is odd
+    dh = int(h // 2 * precrop_frac)
+    dw = int(w // 2 * precrop_frac)
+    lo_r = jnp.where(use_crop, h // 2 - dh, 0)
+    hi_r = jnp.where(use_crop, h // 2 + dh, h)
+    lo_c = jnp.where(use_crop, w // 2 - dw, 0)
+    hi_c = jnp.where(use_crop, w // 2 + dw, w)
+    row = jax.random.randint(k_row, (batch_size,), lo_r, hi_r)
+    col = jax.random.randint(k_col, (batch_size,), lo_c, hi_c)
 
     views = jnp.full((batch_size,), view, jnp.int32)
     rays_o, rays_d = rays_for_pixels(bank.poses, bank.hwf, views,
                                      col.astype(jnp.float32),
                                      row.astype(jnp.float32))
-    viewdirs = None
-    if bank.ndc:
-        viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
-        rays_o, rays_d = ray_lib.ndc_rays(h, w, focal, 1.0, rays_o, rays_d)
-    batch = ray_lib.make_ray_batch(rays_o, rays_d, bank.near, bank.far,
-                                   viewdirs=viewdirs)
+    batch = _finish_ray_batch(bank, rays_o, rays_d)
     targets = {"rgb": bank.images[views, row, col],
                "label": bank.labels[views, row, col]}
     return batch, targets

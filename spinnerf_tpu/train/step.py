@@ -84,6 +84,12 @@ def _active_groups(cfg: TrainConfig, bank: raybank.RayBank):
     if (not cfg.prepare and not cfg.object_removal and not cfg.no_geometry
             and bank.inp_depths is not None and bank.groups["inp"].count > 0):
         groups.append("inp")
+    # an empty group would silently train on its zero-padding pixel
+    # ((0,0) of view 0) — drop it instead
+    groups = [g for g in groups if bank.groups[g].count > 0]
+    if not groups:
+        raise ValueError("no non-empty ray groups for this config/scene "
+                         "(is the mask empty or all-covering?)")
     return groups
 
 
