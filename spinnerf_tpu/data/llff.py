@@ -41,7 +41,9 @@ def imread_float(path) -> np.ndarray:
     img = cv2.imread(str(path), cv2.IMREAD_UNCHANGED)
     if img is None:
         raise FileNotFoundError(path)
-    if img.ndim == 3:
+    if img.ndim == 2:
+        img = cv2.cvtColor(img, cv2.COLOR_GRAY2RGB)
+    elif img.ndim == 3:
         img = cv2.cvtColor(img, cv2.COLOR_BGRA2RGB if img.shape[2] == 4
                            else cv2.COLOR_BGR2RGB)
     return img.astype(np.float32) / np.float32(
@@ -329,6 +331,10 @@ def train_test_split(n_images: int, *, n_gt: int = 0, train_gt: bool = False,
 
     SPIn-NeRF datasets put the N_gt object-removed GT views FIRST: those become
     the test set and the remainder trains (unless train_gt).
+
+    Quirk kept deliberately: with `llffhold > 0` and no N_gt, the holdout
+    views stay INSIDE i_train — SPIn-NeRF's LLFF branch sets i_train to ALL
+    views (`run_nerf.py:1009`), unlike vanilla NeRF which excluded i_test.
     """
     i_all = np.arange(n_images)
     if llffhold > 0:

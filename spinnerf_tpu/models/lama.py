@@ -140,7 +140,6 @@ class SpectralTransform(nn.Module):
         out = FourierUnit(self.features // 2, name="fu")(x, train)
         if self.enable_lfu:
             n, h, w, c = x.shape
-            s_h, s_w = h // 2, w // 2
             xs = x[..., : c // 4]
             xs = jnp.concatenate(jnp.split(xs, 2, axis=1), axis=-1)
             xs = jnp.concatenate(jnp.split(xs, 2, axis=2), axis=-1)

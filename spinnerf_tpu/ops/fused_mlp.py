@@ -52,15 +52,6 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
-def pad_lanes(x, multiple: int = 128):
-    """Zero-pad the last dim up to a lane multiple (weights rows match)."""
-    d = x.shape[-1]
-    target = _round_up(d, multiple)
-    if target == d:
-        return x
-    return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, target - d)])
-
-
 def _forward_block(x, d, ws, dims: MLPDims, dtype=None):
     dtype = dtype or jnp.dtype(dims.compute_dtype)
     """Compute the full MLP for one block. Returns (raw, activations list).

@@ -269,6 +269,13 @@ class Trainer:
         rgbs, _ = self.render_poses_list(
             self.scene.poses[self.i_test], save_dir=tdir,
             gt_images=self.scene.images[self.i_test])
+        if self.cfg.render_factor:
+            # downsampled renders can't be compared to full-res GT
+            # (reference computes test PSNR only at render_factor==0,
+            # `run_nerf.py:1692-1696`)
+            self.log(f"[{step}] testset rendered at 1/"
+                     f"{self.cfg.render_factor} (no PSNR)")
+            return
         ps = [float(eval_metrics.psnr(jnp.asarray(r),
                                       jnp.asarray(self.scene.images[t])))
               for r, t in zip(rgbs, self.i_test)]
@@ -330,6 +337,16 @@ class Trainer:
         imageio.imwrite(out / f"{self.cfg.expname}_seg_{step:06d}.png",
                         to8b(panel))
 
+    def _batches_per_step(self) -> int:
+        """Ray batches the fused step actually renders (active groups plus
+        the sparse-depth batch when enabled) — the rays/s denominator."""
+        from spinnerf_tpu.train.step import _active_groups
+        n = len(_active_groups(self.tcfg, self.bank))
+        if (self.tcfg.depth_supervision and self.bank.depth_group is not None
+                and self.bank.depth_group.count > 0):
+            n += 1
+        return n
+
     # --- main loop -----------------------------------------------------------
 
     def fit(self, n_iters: int | None = None, *, hooks: bool = True):
@@ -347,12 +364,12 @@ class Trainer:
             state.params, state.opt_state, metrics = self.step_fn(
                 state.params, state.opt_state, k, i)
             state.step = i
-            rays_done += self.tcfg.n_rand * (len(self.bank.groups) + 1)
+            rays_done += self.tcfg.n_rand * self._batches_per_step()
 
             if hooks:
-                if control is not None and i % cfg.i_print == 0:
-                    control.poll()
-                if i % cfg.i_print == 0:
+                if cfg.i_print and i % cfg.i_print == 0:
+                    if control is not None:
+                        control.poll()
                     m = {k_: float(v) for k_, v in metrics.items()}
                     dt = time.time() - t0
                     self.log(f"[{i}/{n_iters}] loss {m['loss']:.4f} "
@@ -363,8 +380,12 @@ class Trainer:
                     self._video_hook(i)
                 if cfg.i_testset and i % cfg.i_testset == 0 and i > 0:
                     self._testset_hook(i)
-                if (cfg.prepare and cfg.i_feat and i % cfg.i_feat == 0
-                        and i == n_iters - 1):
+                # prepare mode dumps the LaMa staging every i_feat like the
+                # reference (`run_nerf.py:1563,1599` — each dump overwrites);
+                # also force one at the final step so a schedule where
+                # n_iters isn't a multiple of i_feat still stages guidance
+                if cfg.prepare and cfg.i_feat and (
+                        (i % cfg.i_feat == 0 and i > 0) or i == n_iters):
                     self._prepare_hook(i)
                 elif (not cfg.prepare and cfg.i_feat > 10
                         and i % cfg.i_feat == 0 and i > 0):

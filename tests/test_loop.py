@@ -94,3 +94,15 @@ def test_mesh_shape_limits_devices(scene_dir, tmp_path):
     tr = Trainer(cfg, log=lambda *a: None)
     assert tr.mesh is not None and tr.mesh.devices.size == 2
     tr.fit(n_iters=2, hooks=False)
+
+
+def test_prepare_cadence_fires_in_loop(scene_dir, tmp_path):
+    """`--prepare` stages LaMa guidance from INSIDE the fit loop on the
+    i_feat cadence and at the final step (`run_nerf.py:1563,1599`) — not
+    only via the explicit pipeline call."""
+    cfg = tiny_config(scene_dir, tmp_path, expname="prepc", prepare=True,
+                      i_feat=3)
+    tr = Trainer(cfg, log=lambda *a: None)
+    tr.fit(n_iters=4)   # fires at i=3 (cadence) and i=4 (final step)
+    out = tr.exp_dir / "lama_input"
+    assert sorted(out.glob("img*.png")), "in-loop prepare dump missing"
