@@ -94,18 +94,25 @@ class Inpainter:
         fy, fx = h // ph, w // pw
         tx = optax.adam(lr)
 
-        def loss_fn(z, variables, ref, m_ref):
+        def loss_fn(z, variables, ref, m_ref, image, m_full):
             pred = gen.apply(variables, z,
                              method=lambda m, z_: m.rear(z_))[0, :h, :w]
             pd = pred[: ph * fy, : pw * fx]
             pd = pd.reshape(ph, fy, pw, fx, 3).mean(axis=(1, 3))
-            return jnp.sum(jnp.abs(pd - ref) * m_ref) / \
+            hole = jnp.sum(jnp.abs(pd - ref) * m_ref) / \
                 jnp.maximum(jnp.sum(m_ref), 1.0)
+            # full-res known-region anchor (`refinement.py:78-87` _l1_loss):
+            # without it the latent walk drifts the prediction outside the
+            # hole, and the blend against the untouched surround seams
+            known = (1.0 - m_full)
+            anchor = jnp.sum(jnp.abs(pred - image) * known) / \
+                jnp.maximum(jnp.sum(known), 1.0)
+            return hole + anchor
 
         @jax.jit
-        def step(z, opt_state, variables, ref, m_ref):
+        def step(z, opt_state, variables, ref, m_ref, image, m_full):
             loss, grads = jax.value_and_grad(loss_fn)(z, variables, ref,
-                                                      m_ref)
+                                                      m_ref, image, m_full)
             updates, opt_state = tx.update(grads, opt_state)
             return optax.apply_updates(z, updates), opt_state, loss
 
@@ -207,15 +214,19 @@ def refine_predict(gen: lama.FFCResNetGenerator, variables,
         else:
             ph, pw = prev.shape[:2]
             ref = jnp.asarray(prev)
-            # downscale mask to the reference scale for the loss region
-            m_ref = _area_resize(m_p[..., 0], ph, pw) > 1e-6
+            # downscale mask to the reference scale — from the UNPADDED
+            # region (the mod-8 padding would shift the loss window near
+            # the right/bottom edges)
+            m_ref = _area_resize(m_p[:h, :w, 0], ph, pw) > 1e-6
             m_ref_j = jnp.asarray(m_ref.astype(np.float32))[..., None]
+            img_j = jnp.asarray(img_l)
+            m_full_j = jnp.asarray(m_p[:h, :w])
 
             step, tx = inpainter.refine_step(h=h, w=w, ph=ph, pw=pw, lr=lr)
             opt_state = tx.init(z)
             for _ in range(n_iters):
                 z, opt_state, _ = step(z, opt_state, inpainter.variables,
-                                       ref, m_ref_j)
+                                       ref, m_ref_j, img_j, m_full_j)
             pred = np.asarray(inpainter.rear(z))[0]
 
         out = pred[:h, :w] * m_p[:h, :w] + img_l * (1 - m_p[:h, :w])
@@ -241,16 +252,22 @@ def load_generator(checkpoint_path=None, **kwargs):
 
 
 def inpaint_directory(in_dir, out_dir, *, checkpoint_path=None,
-                      refine: bool = False, scale_to_255: bool = False,
+                      refine: bool = False, inpainter: Inpainter | None = None,
                       **refine_kwargs):
     """LaMa predict-CLI parity: read `<in_dir>/img*.png` +
     `<in_dir>/label/img*.png` masks, write inpainted `<out_dir>/<name>.png`
-    (`bin/predict.py:60-101` with the SPIn-NeRF staging names)."""
+    (`bin/predict.py:60-101` with the SPIn-NeRF staging names).
+
+    Pass `inpainter` to reuse compiled graphs (and a loaded checkpoint)
+    across multiple directories — e.g. the pipeline's disparity + RGB passes.
+    """
     import cv2
     in_dir, out_dir = Path(in_dir), Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
-    gen, variables = load_generator(checkpoint_path)
-    inpainter = Inpainter(gen, variables)   # compile once for the whole dir
+    if inpainter is None:
+        gen, variables = load_generator(checkpoint_path)
+        inpainter = Inpainter(gen, variables)  # compile once for the dir
+    gen, variables = inpainter.gen, inpainter.variables
 
     images = sorted(p for p in in_dir.iterdir()
                     if p.suffix.lower() in (".png", ".jpg", ".jpeg")

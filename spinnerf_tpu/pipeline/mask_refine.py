@@ -90,7 +90,6 @@ def refine_view(src: ViewDump, targets: list[ViewDump], *, focal, cx, cy,
     ys, xs = np.where(mask > 0.5)
     if len(ys) == 0:
         return img, mask, disp
-    p = len(ys)
     s = src.z.shape[-1]
 
     # candidate surface depths per masked pixel: significant alpha at/behind
@@ -105,13 +104,6 @@ def refine_view(src: ViewDump, targets: list[ViewDump], *, focal, cx, cy,
     world = _pix_to_world(u_a, v_a, z_pix.astype(np.float64), src.c2w,
                           focal, cx, cy)        # [P, S, 3]
 
-    # neighbor-disparity map stack for the source consistency check
-    pads = np.pad(disp, 1, mode="edge")
-    neigh = np.stack([pads[dy:dy + h, dx:dx + w]
-                      for dy in (0, 1, 2) for dx in (0, 1, 2)
-                      if not (dy == 1 and dx == 1)], axis=0)  # [8, H, W]
-
-    done = np.zeros(p, bool)
     for tgt in targets:
         if tgt is src:
             continue
@@ -125,7 +117,7 @@ def refine_view(src: ViewDump, targets: list[ViewDump], *, focal, cx, cy,
         agree = np.abs(z_b - tgt_surf_z) / np.maximum(z_b, 1e-9) < distance_thresh
         valid = cand & in_bounds & tgt_unmasked & agree        # [P, S]
 
-        has = valid.any(axis=-1) & ~done
+        has = valid.any(axis=-1)
         if not has.any():
             continue
         first = np.argmax(valid, axis=-1)                      # [P]
@@ -137,7 +129,12 @@ def refine_view(src: ViewDump, targets: list[ViewDump], *, focal, cx, cy,
                            tgt.c2w, focal, cx, cy)
         _, _, proj_z = _world_to_pix(tw, src.c2w, focal, cx, cy)
 
-        # source neighbor-disparity consistency (`mask_refinement.py:195-205`)
+        # source neighbor-disparity consistency against the LIVE disp map
+        # (`mask_refinement.py:195-205` reads src_disp as it is updated)
+        pads = np.pad(disp, 1, mode="edge")
+        neigh = np.stack([pads[dy:dy + h, dx:dx + w]
+                          for dy in (0, 1, 2) for dx in (0, 1, 2)
+                          if not (dy == 1 and dx == 1)], axis=0)  # [8, H, W]
         nd = np.abs(1.0 / np.maximum(proj_z, 1e-9)
                     - neigh[:, ys[pi], xs[pi]]).min(axis=0)
         ok = nd < distance_thresh
@@ -147,10 +144,18 @@ def refine_view(src: ViewDump, targets: list[ViewDump], *, focal, cx, cy,
         si = si[ok]
         proj_z = proj_z[ok]
 
+        # re-refinement gate (`mask_refinement.py:194`): update while still
+        # masked, OR when a later target sees a CLOSER agreeing surface
+        # than the one already pasted (src_disp < 1/z_val)
+        cand_disp = 1.0 / np.maximum(proj_z, 1e-9)
+        keep = (mask[ys[pi], xs[pi]] > 0.5) | (disp[ys[pi], xs[pi]] < cand_disp)
+        pi, si, cand_disp = pi[keep], si[keep], cand_disp[keep]
+        if len(pi) == 0:
+            continue
+
         img[ys[pi], xs[pi]] = tgt.image[vi[pi, si], ui[pi, si]]
         mask[ys[pi], xs[pi]] = 0.0
-        disp[ys[pi], xs[pi]] = 1.0 / np.maximum(proj_z, 1e-9)
-        done[pi] = True
+        disp[ys[pi], xs[pi]] = cand_disp
 
     return img, mask, disp
 

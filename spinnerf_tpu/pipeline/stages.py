@@ -71,10 +71,14 @@ def stage_inpaint_guidance(cfg: Config, lama_in: Path, *,
     names = sorted(p.name for p in img_dir.iterdir()
                    if p.suffix.lower() in (".png", ".jpg", ".jpeg"))
 
+    # one generator + compiled graphs shared by the disparity and RGB passes
+    gen, variables = inpaint2d.load_generator(checkpoint_path)
+    inpainter = inpaint2d.Inpainter(gen, variables)
+
     # disparities -> depth/
     disp_out = inpaint2d.inpaint_directory(
         lama_in, Path(cfg.basedir) / cfg.expname / "lama_disp_out",
-        checkpoint_path=checkpoint_path, refine=refine)
+        refine=refine, inpainter=inpainter)
     depth_dir = img_dir / "depth"
     depth_dir.mkdir(exist_ok=True)
     for i, name in enumerate(names):
@@ -94,7 +98,7 @@ def stage_inpaint_guidance(cfg: Config, lama_in: Path, *,
         cv2.imwrite(str(rgb_in / "label" / f"img{i:03d}.png"), m)
     rgb_out = inpaint2d.inpaint_directory(
         rgb_in, Path(cfg.basedir) / cfg.expname / "lama_rgb_out",
-        checkpoint_path=checkpoint_path, refine=refine)
+        refine=refine, inpainter=inpainter)
     lama_dir = img_dir / "lama_images"
     lama_dir.mkdir(exist_ok=True)
     for i, name in enumerate(names):

@@ -34,35 +34,43 @@ def masked_l1(pred, target, mask, *, weight_known: float,
     return jnp.mean(per * w)
 
 
-def generator_adversarial_loss(fake_logits, mask=None):
-    """Non-saturating generator loss: -log sigmoid(D(fake)) == softplus(-x).
-    With `mask`, only hole pixels count (`adversarial.py:115-126`)."""
+def generator_adversarial_loss(fake_logits, mask=None, *,
+                               use_unmasked: bool = True,
+                               extra_mask_weight: float = 0.0):
+    """Non-saturating generator loss: -log sigmoid(D(fake)) == softplus(-x),
+    averaged over ALL pixels in the big-lama configuration
+    (`adversarial.py:102-115`: use_unmasked_for_gen=True,
+    extra_mask_weight_for_gen=0 — the mask reweights only when those are
+    overridden)."""
     per = jax.nn.softplus(-fake_logits)
-    if mask is None:
-        return jnp.mean(per)
-    m = _resize_mask(mask, fake_logits.shape[1:3])
-    return jnp.sum(per * m) / jnp.maximum(jnp.sum(m * jnp.ones_like(per)), 1.0)
+    if mask is not None and (not use_unmasked or extra_mask_weight > 0):
+        m = _resize_mask(mask, fake_logits.shape[1:3])
+        per = per * (m if not use_unmasked
+                     else 1.0 + m * extra_mask_weight)
+    return jnp.mean(per)
 
 
 def discriminator_adversarial_loss(real_logits, fake_logits, mask):
-    """Non-saturating D loss with mask-as-fake-target: inside the hole the
-    'real' image is also treated as fake (`adversarial.py:128-169`)."""
-    m = _resize_mask(mask, real_logits.shape[1:3])
-    # real pixels: label 1 outside the hole, 0 inside
-    loss_real = (1 - m) * jax.nn.softplus(-real_logits) + \
-        m * jax.nn.softplus(real_logits)
-    loss_fake = jax.nn.softplus(fake_logits)
-    return jnp.mean(loss_real) + jnp.mean(loss_fake)
+    """Non-saturating D loss with mask-as-fake-target
+    (`adversarial.py:121-140`): the real image is labeled real EVERYWHERE;
+    the generator output is labeled fake inside the hole and real outside it
+    (its known-region output must also fool D)."""
+    m = _resize_mask(mask, fake_logits.shape[1:3])
+    loss_real = jax.nn.softplus(-real_logits)
+    loss_fake = m * jax.nn.softplus(fake_logits) + \
+        (1.0 - m) * jax.nn.softplus(-fake_logits)
+    return jnp.mean(loss_real + loss_fake)
 
 
-def r1_gradient_penalty(disc_apply, disc_params, real, mask):
-    """R1 penalty: E[|grad_x D(real)|^2] (`adversarial.py:81-113`)."""
+def r1_gradient_penalty(disc_apply, disc_params, real):
+    """R1 penalty (`adversarial.py:70-78` make_r1_gp): backprop
+    sum(D(real)) to the input and take the batch mean of per-sample squared
+    gradient norms — no masking, no batch-size prescaling."""
     def score(x):
         logits, _ = disc_apply(disc_params, x)
-        m = _resize_mask(mask, logits.shape[1:3])
-        return jnp.sum(logits * (1 - m)) / real.shape[0]
+        return jnp.sum(logits)
     g = jax.grad(score)(real)
-    return jnp.sum(g ** 2) / real.shape[0]
+    return jnp.mean(jnp.sum(g.reshape(g.shape[0], -1) ** 2, axis=1))
 
 
 def feature_matching_loss(fake_feats, real_feats, mask=None):

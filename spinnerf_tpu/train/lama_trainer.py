@@ -99,8 +99,13 @@ def make_lama_train_step(gen: FFCResNetGenerator, disc: NLayerDiscriminator,
         def gen_loss_fn(gen_params):
             gv = {"params": gen_params,
                   "batch_stats": state.gen_vars["batch_stats"]}
+            # D, feature matching, and the perceptual loss all see the RAW
+            # generator output (`trainers/default.py:96,120` uses
+            # image_to_discriminator='predicted_image') — the blended
+            # composite equals the real image outside the hole, which would
+            # starve those losses of known-region signal
             pred, blended, new_gs = forward_gen(gv, images, masks, True)
-            (fake_logits, fake_feats), _ = apply_disc(state.disc_vars, blended)
+            (fake_logits, fake_feats), _ = apply_disc(state.disc_vars, pred)
             (real_logits, real_feats), _ = apply_disc(state.disc_vars, images)
 
             l1 = masked_l1(pred, images, masks,
@@ -112,7 +117,7 @@ def make_lama_train_step(gen: FFCResNetGenerator, disc: NLayerDiscriminator,
                 weights.feature_matching * fm
             metrics = {"g_l1": l1, "g_adv": adv, "g_fm": fm}
             if perceptual_fn is not None and weights.perceptual > 0:
-                pl_ = perceptual_fn(blended, images)
+                pl_ = perceptual_fn(pred, images)
                 loss = loss + weights.perceptual * pl_
                 metrics["g_perceptual"] = pl_
             metrics["g_total"] = loss
@@ -130,8 +135,8 @@ def make_lama_train_step(gen: FFCResNetGenerator, disc: NLayerDiscriminator,
                            state.ema_params, gen_params)
 
         # ---- discriminator phase ----
-        pred, blended, _ = forward_gen(gen_vars, images, masks, False)
-        blended = jax.lax.stop_gradient(blended)
+        pred, _, _ = forward_gen(gen_vars, images, masks, False)
+        fake_input = jax.lax.stop_gradient(pred)
 
         def disc_loss_fn(disc_params):
             dv = {"params": disc_params,
@@ -141,14 +146,14 @@ def make_lama_train_step(gen: FFCResNetGenerator, disc: NLayerDiscriminator,
                 {"params": disc_params,
                  "batch_stats": new_ds.get("batch_stats",
                                            state.disc_vars["batch_stats"])},
-                blended)
+                fake_input)
             adv = discriminator_adversarial_loss(real_logits, fake_logits,
                                                  masks)
             gp = r1_gradient_penalty(
                 lambda p, x: disc.apply(
                     {"params": p,
                      "batch_stats": state.disc_vars["batch_stats"]}, x),
-                disc_params, images, masks)
+                disc_params, images)
             loss = adv + weights.gp_coef * gp
             return loss, ({"d_adv": adv, "d_gp": gp, "d_total": loss}, new_ds)
 
@@ -178,8 +183,9 @@ def make_batch(images, mask_gen: MixedMaskGenerator, rng, crop: int = 256):
     crops, masks = [], []
     for img in images:
         h, w = img.shape[:2]
-        y = rng.randint(0, max(h - crop, 1))
-        x = rng.randint(0, max(w - crop, 1))
+        # +1: randint's upper bound is exclusive — h - crop is a valid origin
+        y = rng.randint(0, max(h - crop + 1, 1))
+        x = rng.randint(0, max(w - crop + 1, 1))
         patch = img[y:y + crop, x:x + crop]
         if patch.shape[:2] != (crop, crop):
             patch = np.pad(patch, ((0, crop - patch.shape[0]),

@@ -36,14 +36,19 @@ def test_masked_l1_weights(rng):
 def test_adversarial_losses_directions(rng):
     good = jnp.full((1, 4, 4, 1), 5.0)    # D confident real
     bad = jnp.full((1, 4, 4, 1), -5.0)
-    mask = jnp.zeros((1, 16, 16, 1))
+    hole = jnp.ones((1, 16, 16, 1))
     # generator wants fake logits high
     assert float(L.generator_adversarial_loss(bad)) > \
         float(L.generator_adversarial_loss(good))
-    # discriminator wants real high, fake low
-    d_good = float(L.discriminator_adversarial_loss(good, bad, mask))
-    d_bad = float(L.discriminator_adversarial_loss(bad, good, mask))
+    # discriminator wants real high everywhere, fake low INSIDE the hole
+    d_good = float(L.discriminator_adversarial_loss(good, bad, hole))
+    d_bad = float(L.discriminator_adversarial_loss(bad, good, hole))
     assert d_good < d_bad
+    # mask-as-fake-target (`adversarial.py:131-138`): OUTSIDE the hole the
+    # generator output is pixel-plausible, so D should call it real there
+    no_hole = jnp.zeros((1, 16, 16, 1))
+    assert float(L.discriminator_adversarial_loss(good, good, no_hole)) < \
+        float(L.discriminator_adversarial_loss(good, bad, no_hole))
 
 
 def test_discriminator_shapes(rng):
