@@ -32,8 +32,17 @@ def frechet_distance(feats_a: np.ndarray, feats_b: np.ndarray) -> float:
     c2 = np.cov(feats_b, rowvar=False)
     diff = mu1 - mu2
     covmean, _ = scipy.linalg.sqrtm(c1 @ c2, disp=False)
+    if not np.isfinite(covmean).all():
+        # rank-deficient product (N images << feature dim is the norm here):
+        # retry with the standard diagonal offset (same trick as the
+        # reference FID implementations)
+        eps = 1e-6
+        offset = np.eye(c1.shape[0]) * eps
+        covmean, _ = scipy.linalg.sqrtm((c1 + offset) @ (c2 + offset),
+                                        disp=False)
     if np.iscomplexobj(covmean):
         covmean = covmean.real
+    covmean = np.nan_to_num(covmean, nan=0.0, posinf=0.0, neginf=0.0)
     return float(diff @ diff + np.trace(c1) + np.trace(c2)
                  - 2 * np.trace(covmean))
 
@@ -51,8 +60,18 @@ class FeatureExtractor:
         else:
             self.params = self.net.init(jax.random.PRNGKey(seed),
                                         jnp.zeros((1, 64, 64, 3)))
-        self._apply = jax.jit(lambda p, x: [
-            f.mean(axis=(1, 2)) for f in self.net.apply(p, x)])
+        from spinnerf_tpu.models import lpips as lpips_lib
+        shift = jnp.asarray(lpips_lib._SHIFT)
+        scale = jnp.asarray(lpips_lib._SCALE)
+
+        def _run(p, x):
+            # VGG16Features expects LPIPS-normalized input ([0,1] -> [-1,1]
+            # -> shift/scale) — raw images would put every activation
+            # out-of-distribution for pretrained weights
+            x = (x * 2.0 - 1.0 - shift) / scale
+            return [f.mean(axis=(1, 2)) for f in self.net.apply(p, x)]
+
+        self._apply = jax.jit(_run)
 
     def __call__(self, images: np.ndarray) -> np.ndarray:
         """images [N, H, W, 3] in [0,1] -> features [N, D]."""
@@ -93,6 +112,8 @@ class InpaintingEvaluator:
     def evaluation_end(self) -> dict:
         """Mean/std per metric, overall and per mask-area bin, plus fid and
         the ssim_fid100_f1 integral score when a feature extractor is set."""
+        if not self.rows:   # nothing scored (e.g. empty validation dir)
+            return {"total": {"n": 0}}
         out = {"total": self._table(self.rows)}
         for lo, hi in zip(self.bin_edges[:-1], self.bin_edges[1:]):
             rows = [r for r in self.rows if lo <= r["mask_area"] < hi]

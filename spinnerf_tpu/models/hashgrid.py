@@ -19,8 +19,9 @@ TPU design notes:
   hash-grid-on-TPU trap; v5e has no vector-gather hardware (no SparseCore).
   The fix is `ops/hash_encode.py`: gather/scatter recast as one-hot MXU
   matmuls against a lane-packed [R, 128] table (Pallas), ~450-550 ms
-  fwd+bwd at log2_T=15-16 — 15-40x over the XLA path; selected
-  automatically via `impl="auto"` for log2_T <= 17. The dense `NeRFField`
+  fwd+bwd at log2_T=15-16 — 15-40x over the XLA path; `impl="auto"` picks
+  it on TPU at every table size (cost grows linearly in R but XLA's
+  serialized loops are flat ~8.7 s regardless). The dense `NeRFField`
   MLP remains the single-chip throughput flagship (~24 it/s fused step).
 - Levels whose dense grid fits the table use collision-free linear indexing;
   finer levels use the standard spatial hash with primes (1, 2654435761,
@@ -57,10 +58,9 @@ class HashGridEncoding(nn.Module):
     `impl` selects the gather strategy:
       - "mxu": Pallas one-hot-matmul kernels (`ops/hash_encode.py`) — the
         fast path on TPU (XLA's serialized gather/scatter loops are ~15-40x
-        slower at the training workload size); cost grows with table size,
-        so it is auto-selected for log2_table_size <= 17.
-      - "xla": plain gather / scatter-add (CPU, tiny problems, big tables).
-      - "auto": choose per backend + table size.
+        slower at the training workload size).
+      - "xla": plain gather / scatter-add (CPU reference path).
+      - "auto": "mxu" on TPU, "xla" elsewhere (`recommended_impl`).
     """
     n_levels: int = 16
     features: int = 2

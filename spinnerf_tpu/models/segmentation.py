@@ -97,7 +97,9 @@ class ResNetDilated(nn.Module):
 
     3-conv stem (64, 64, 128) + maxpool (`resnet.py:100-109`); four stages;
     with `dilate_scale=8` stage 3 keeps stride 1 with dilation 2 and stage 4
-    dilation 4 (ResnetDilated conversion) so output stride is 8.
+    dilation 4 (ResnetDilated conversion; each stage's first — formerly
+    stride-2 — 3x3 conv gets dilate//2 per `_nostride_dilate`) so output
+    stride is 8.
     Returns the four stage feature maps (`return_feature_maps=True` path).
     """
     depth: int = 50
@@ -128,7 +130,12 @@ class ResNetDilated(nn.Module):
             for b in range(n_blocks):
                 stride = strides[s] if b == 0 else 1
                 down = b == 0 and (stride != 1 or in_ch != p * expansion)
-                h = block_cls(p, stride=stride, dilation=dilations[s],
+                # MIT's _nostride_dilate (`models/ade20k/base.py:423-436`):
+                # the formerly-stride-2 3x3 conv (block 0 of a dilated
+                # stage) gets dilation dilate//2; the rest get dilate
+                dil = (dilations[s] // 2 if b == 0 and dilations[s] > 1
+                       else dilations[s])
+                h = block_cls(p, stride=stride, dilation=dil,
                               downsample=down,
                               name=f"layer{s + 1}_{b}")(h, train)
                 in_ch = p * expansion
@@ -221,8 +228,8 @@ def make_resnet_pl(*, depth: int = 50, weights_path=None, seed: int = 0,
         ft = enc.apply(params, imagenet_normalize(
             jax.lax.stop_gradient(target)))
         total = 0.0
-        for a, b in zip(fp, ft):
-            total = total + jnp.mean((a - jax.lax.stop_gradient(b)) ** 2)
+        for a, b in zip(fp, ft):   # ft already carries no gradient
+            total = total + jnp.mean((a - b) ** 2)
         return total
 
     return loss_fn, params

@@ -85,8 +85,10 @@ def export_masks(trainer, out_subdir: str = "label", *, opening: bool = True,
     out_dir.mkdir(parents=True, exist_ok=True)
 
     masks = render_masks(trainer, trainer.scene.poses, opening=opening)
-    names = sorted(p.stem for p in img_dir.iterdir()
-                   if p.suffix.lower() in (".png", ".jpg", ".jpeg"))
+    # MUST match the scene loader's file list exactly (cutout/pseudo
+    # exclusions, pose-count truncation) or masks misalign to filenames
+    from spinnerf_tpu.data.llff import _list_images
+    names = [p.stem for p in _list_images(img_dir)][:len(masks)]
     if dilate_iterations > 0:
         from spinnerf_tpu.data.llff import dilate_mask
         masks = np.stack([dilate_mask(m, iterations=dilate_iterations)
