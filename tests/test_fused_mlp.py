@@ -191,3 +191,21 @@ def test_v2_semantic_variant(rng):
     got = np.asarray(field(weights, pts, vd))
     assert got.shape == want.shape == (4, 8, 5)
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_v2_backward_accumulates_across_grid_steps(setup_v2):
+    """dW accumulation over REVISITED output blocks: running the same batch
+    through a smaller block (4 grid steps) must give identical weight grads
+    to the single-block pass."""
+    model, params, dims, weights, _, pts, vd = setup_v2
+    f1 = fm.make_fused_pe_field_fn(dims, block=128)   # 1 grid step
+    f4 = fm.make_fused_pe_field_fn(dims, block=32)    # 4 grid steps
+
+    def loss(field):
+        return lambda w: jnp.sum(jnp.tanh(field(w, pts, vd)))
+
+    g1 = jax.grad(loss(f1))(weights)
+    g4 = jax.grad(loss(f4))(weights)
+    for n in g1:
+        np.testing.assert_allclose(np.asarray(g4[n]), np.asarray(g1[n]),
+                                   atol=1e-5, rtol=1e-4, err_msg=n)
