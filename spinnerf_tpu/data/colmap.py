@@ -209,21 +209,25 @@ def write_points3d_binary(points: dict[int, Point3D], path):
 
 def read_cameras_text(path) -> dict[int, Camera]:
     cameras = {}
-    for line in open(path):
-        line = line.strip()
-        if not line or line.startswith("#"):
-            continue
-        parts = line.split()
-        cam_id, model = int(parts[0]), parts[1]
-        cameras[cam_id] = Camera(cam_id, model, int(parts[2]), int(parts[3]),
-                                 np.array([float(p) for p in parts[4:]]))
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split()
+            cam_id, model = int(parts[0]), parts[1]
+            cameras[cam_id] = Camera(cam_id, model, int(parts[2]),
+                                     int(parts[3]),
+                                     np.array([float(p) for p in parts[4:]]))
     return cameras
 
 
 def read_images_text(path) -> dict[int, Image]:
     images = {}
-    lines = [l.strip() for l in open(path)
-             if l.strip() and not l.startswith("#")]
+    with open(path) as f:
+        # an image with zero 2D points has an EMPTY second line — keep
+        # blank lines so the header/points 2-line pairing stays in sync
+        lines = [l.strip() for l in f if not l.startswith("#")]
     for header, data in zip(lines[0::2], lines[1::2]):
         p = header.split()
         img_id = int(p[0])
@@ -241,7 +245,9 @@ def read_images_text(path) -> dict[int, Image]:
 
 def read_points3d_text(path) -> dict[int, Point3D]:
     points = {}
-    for line in open(path):
+    with open(path) as f:
+        lines = f.readlines()
+    for line in lines:
         line = line.strip()
         if not line or line.startswith("#"):
             continue
@@ -279,6 +285,9 @@ def read_dense_array(path) -> np.ndarray:
         amps = 0
         while amps < 3:
             c = f.read(1)
+            if not c:
+                raise ValueError(
+                    f"{path}: truncated/invalid dense-array header")
             header += c
             if c == b"&":
                 amps += 1
@@ -374,7 +383,7 @@ def sparse_depth_for_views(sparse_dir, *, factor: float = 1.0,
         err = np.array([points[pid].error for pid in ids])
         z = ((xyz @ w2c[2, :3].T) + w2c[2, 3]) * bd_scale
         if bounds is not None:
-            lo, hi = bounds[view_idx] * bd_scale
+            lo, hi = np.asarray(bounds[view_idx], np.float64) * bd_scale
             inb = (z >= lo) & (z <= hi)
         else:
             inb = z > 0

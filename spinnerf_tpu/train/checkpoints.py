@@ -70,7 +70,11 @@ def strip_checkpoint(exp_dir, out_dir, *, step=None):
         raise FileNotFoundError(f"no checkpoints under {exp_dir}")
     out = Path(out_dir).resolve()
     out.mkdir(parents=True, exist_ok=True)
+    dst = out / f"params_{step}"
+    if dst.exists():
+        import shutil
+        shutil.rmtree(dst)   # re-running the strip overwrites
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(out / f"params_{step}", restored["params"])
+    ckptr.save(dst, restored["params"])
     ckptr.wait_until_finished()
-    return step, out / f"params_{step}"
+    return step, dst

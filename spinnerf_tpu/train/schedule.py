@@ -11,7 +11,13 @@ import optax
 
 
 def exponential_lr(lrate: float, lrate_decay: float) -> optax.Schedule:
-    """Continuous exponential decay: lr(step) = lrate * 0.1^(step / (decay*1000))."""
+    """Continuous exponential decay: lr(step) = lrate * 0.1^(step / (decay*1000)).
+
+    lrate_decay <= 0 means NO decay (a decay of 0 must not collapse the
+    schedule to 0.1^step).
+    """
+    if lrate_decay <= 0:
+        return optax.constant_schedule(lrate)
     return optax.exponential_decay(
         init_value=lrate,
         transition_steps=max(int(lrate_decay * 1000), 1),

@@ -91,3 +91,31 @@ def test_poses_bounds_from_model_roundtrip(tmp_path):
     lo, hi = orig[:, -2:].T
     lo2, hi2 = regen[:, -2:].T
     assert (lo2 > lo * 0.8).all() and (hi2 < hi * 1.3).all()
+
+
+def test_text_model_readers_with_zero_point_image(tmp_path):
+    """COLMAP text export: a registered image with NO 2D points has an
+    EMPTY second line — the header/points pairing must stay in sync."""
+    from spinnerf_tpu.data import colmap
+    (tmp_path / "cameras.txt").write_text(
+        "# Camera list\n"
+        "1 SIMPLE_PINHOLE 64 48 50.0 32.0 24.0\n")
+    (tmp_path / "images.txt").write_text(
+        "# Image list\n"
+        "1 1.0 0.0 0.0 0.0 0.1 0.2 0.3 1 a.png\n"
+        "\n"                                     # zero points
+        "2 1.0 0.0 0.0 0.0 0.4 0.5 0.6 1 b.png\n"
+        "10.0 20.0 7 30.0 40.0 -1\n")
+    (tmp_path / "points3D.txt").write_text(
+        "# 3D point list\n"
+        "7 1.0 2.0 3.0 255 0 0 0.5 2 0\n")
+    cams = colmap.read_cameras_text(tmp_path / "cameras.txt")
+    assert cams[1].width == 64
+    imgs = colmap.read_images_text(tmp_path / "images.txt")
+    assert len(imgs) == 2
+    assert imgs[1].name == "a.png" and len(imgs[1].point3d_ids) == 0
+    assert imgs[2].name == "b.png"
+    np.testing.assert_allclose(imgs[2].xys, [[10.0, 20.0], [30.0, 40.0]])
+    assert list(imgs[2].point3d_ids) == [7, -1]
+    pts = colmap.read_points3d_text(tmp_path / "points3D.txt")
+    assert pts[7].error == 0.5
