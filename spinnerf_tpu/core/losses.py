@@ -53,11 +53,15 @@ def depth_loss(pred_depth, target_depth, *, ray_weights=None, mask=None,
                normalize: bool = False, max_depth=None):
     """COLMAP sparse-depth supervision (`run_nerf.py:1492-1507`).
 
-    weighted: reprojection-error weights multiply the squared error.
+    weighted: reprojection-error weights multiply the squared error
+      (takes precedence over `relative`, matching the reference's elif chain
+      `run_nerf.py:1492-1507`).
     relative: error divided by target depth.
     normalize: error divided by max_depth before squaring (with weighted).
     """
     if weighted:
+        if ray_weights is None:
+            raise ValueError("weighted=True requires ray_weights")
         err = pred_depth - target_depth
         if normalize:
             if max_depth is None:
@@ -105,12 +109,18 @@ def distortion_loss(weights, z_vals):
     O(S^2) matmul per ray batch) and a strong floater suppressor for the
     object-removal stage.
     """
+    # treat samples as bin centers with edges [z_0, midpoints, z_{S-1}] so
+    # ALL S weights are penalized (truncating to S-1 would exempt the last
+    # sample — exactly where far-plane floaters live)
     mids = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
-    w = weights[..., : mids.shape[-1]]
-    # pairwise term: sum_ij w_i w_j |m_i - m_j|
-    dist = jnp.abs(mids[..., :, None] - mids[..., None, :])
+    edges = jnp.concatenate([z_vals[..., :1], mids, z_vals[..., -1:]],
+                            axis=-1)                       # [..., S+1]
+    centers = 0.5 * (edges[..., 1:] + edges[..., :-1])     # [..., S]
+    w = weights
+    # pairwise term: sum_ij w_i w_j |c_i - c_j|
+    dist = jnp.abs(centers[..., :, None] - centers[..., None, :])
     loss_inter = jnp.sum(w[..., :, None] * w[..., None, :] * dist, axis=(-1, -2))
     # intra-bin term
-    deltas = z_vals[..., 1:] - z_vals[..., :-1]
+    deltas = edges[..., 1:] - edges[..., :-1]
     loss_intra = jnp.sum(w ** 2 * deltas, axis=-1) / 3.0
     return jnp.mean(loss_inter + loss_intra)

@@ -72,8 +72,11 @@ def ssim(pred, target, *, max_val: float = 1.0, kernel_size: int = 11,
                 ((mu_pp + mu_tt + c1) * (sig_p + sig_t + c2)))
     if mask is None:
         return jnp.mean(ssim_map)
+    # crop the mask to EXACTLY the VALID-conv output extent (a symmetric
+    # (k-1)//2 crop is one short for even kernel sizes)
     pad = (kernel_size - 1) // 2
-    center = mask[pad:-pad, pad:-pad] if pad else mask
+    oh, ow = ssim_map.shape[0], ssim_map.shape[1]
+    center = mask[pad:pad + oh, pad:pad + ow]
     center = center[..., None]
     return (jnp.sum(ssim_map * center) /
             jnp.maximum(jnp.sum(center * jnp.ones_like(ssim_map)), 1))

@@ -10,7 +10,8 @@
 //   parse_images(bytes)   -> list of (image_id, qvec[4], tvec[3], camera_id,
 //                            name, xys[N,2] float64 bytes, ids[N] int64 bytes)
 //   parse_points(bytes)   -> (ids[N] int64, xyz[N,3] f64, rgb[N,3] u8,
-//                            error[N] f64) as bytes tuples
+//                            error[N] f64, track_offsets[N+1] int64,
+//                            track_data[M,2] int32) as bytes tuples
 //   parse_cameras(bytes)  -> list of (camera_id, model_id, width, height,
 //                            params[...] f64 bytes)
 //
@@ -92,7 +93,18 @@ PyObject* parse_cameras(PyObject*, PyObject* arg) {
            static_cast<const uint8_t*>(buf.buf) + buf.len};
 
   uint64_t n = r.get<uint64_t>();
+  // count sanity vs buffer size (min record: 2*i32 + 2*u64 + >=3 params)
+  if (n > static_cast<uint64_t>(buf.len) / 40) {
+    PyBuffer_Release(&buf);
+    PyErr_SetString(PyExc_ValueError, "corrupt cameras.bin (bad count)");
+    return nullptr;
+  }
+  bool bad_model = false;
   PyObject* out = PyList_New(0);
+  if (!out) {
+    PyBuffer_Release(&buf);
+    return nullptr;
+  }
   for (uint64_t i = 0; i < n && r.ok; ++i) {
     int32_t cam_id = r.get<int32_t>();
     int32_t model_id = r.get<int32_t>();
@@ -101,6 +113,7 @@ PyObject* parse_cameras(PyObject*, PyObject* arg) {
     int np = camera_model_params(model_id);
     if (np < 0) {
       r.ok = false;
+      bad_model = true;
       break;
     }
     const uint8_t* params = r.p;
@@ -108,13 +121,20 @@ PyObject* parse_cameras(PyObject*, PyObject* arg) {
     PyObject* row = Py_BuildValue(
         "iiKKN", cam_id, model_id, (unsigned long long)width,
         (unsigned long long)height, bytes_from(params, 8 * np));
-    PyList_Append(out, row);
+    if (!row || PyList_Append(out, row) != 0) {
+      Py_XDECREF(row);
+      Py_DECREF(out);
+      PyBuffer_Release(&buf);
+      return nullptr;  // error already set
+    }
     Py_DECREF(row);
   }
   PyBuffer_Release(&buf);
   if (!r.ok) {
     Py_DECREF(out);
-    PyErr_SetString(PyExc_ValueError, "truncated cameras.bin");
+    PyErr_SetString(PyExc_ValueError, bad_model
+                        ? "unknown camera model id in cameras.bin"
+                        : "truncated cameras.bin");
     return nullptr;
   }
   return out;
@@ -127,7 +147,17 @@ PyObject* parse_images(PyObject*, PyObject* arg) {
            static_cast<const uint8_t*>(buf.buf) + buf.len};
 
   uint64_t n = r.get<uint64_t>();
+  // min image record: i32 + 32 + 24 + i32 + NUL + u64 = 73 bytes
+  if (n > static_cast<uint64_t>(buf.len) / 73) {
+    PyBuffer_Release(&buf);
+    PyErr_SetString(PyExc_ValueError, "corrupt images.bin (bad count)");
+    return nullptr;
+  }
   PyObject* out = PyList_New(0);
+  if (!out) {
+    PyBuffer_Release(&buf);
+    return nullptr;
+  }
   std::vector<double> xys;
   std::vector<int64_t> ids;
   for (uint64_t i = 0; i < n && r.ok; ++i) {
@@ -140,6 +170,11 @@ PyObject* parse_images(PyObject*, PyObject* arg) {
     std::string name = r.cstring();
     uint64_t npts = r.get<uint64_t>();
     if (!r.ok) break;
+    // each 2D point is 24 bytes; bound reserve by what the buffer can hold
+    if (npts > static_cast<uint64_t>(r.end - r.p) / 24) {
+      r.ok = false;
+      break;
+    }
 
     xys.clear();
     ids.clear();
@@ -157,7 +192,14 @@ PyObject* parse_images(PyObject*, PyObject* arg) {
         cam_id, name.c_str(), (Py_ssize_t)name.size(),
         bytes_from(xys.data(), xys.size() * 8),
         bytes_from(ids.data(), ids.size() * 8));
-    PyList_Append(out, row);
+    if (!row || PyList_Append(out, row) != 0) {
+      // e.g. a non-UTF-8 image name: propagate the Python error instead
+      // of Py_DECREF(nullptr) crashing the interpreter
+      Py_XDECREF(row);
+      Py_DECREF(out);
+      PyBuffer_Release(&buf);
+      return nullptr;
+    }
     Py_DECREF(row);
   }
   PyBuffer_Release(&buf);
@@ -176,6 +218,12 @@ PyObject* parse_points(PyObject*, PyObject* arg) {
            static_cast<const uint8_t*>(buf.buf) + buf.len};
 
   uint64_t n = r.get<uint64_t>();
+  // min point record: i64 + 3*f64 + 3*u8 + f64 + u64 track_len = 51 bytes
+  if (n > static_cast<uint64_t>(buf.len) / 51) {
+    PyBuffer_Release(&buf);
+    PyErr_SetString(PyExc_ValueError, "corrupt points3D.bin (bad count)");
+    return nullptr;
+  }
   std::vector<int64_t> ids;
   std::vector<double> xyz;
   std::vector<uint8_t> rgb;

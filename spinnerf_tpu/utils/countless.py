@@ -51,9 +51,12 @@ def _countless2d(img, xp):
         else:
             img = xp.pad(img, ((0, ph), (0, pw)), mode="edge")
 
-    # +1 shift so 0 becomes a sentinel meaning "no match"; widen first so
-    # the shift cannot overflow small dtypes (uint8 255 -> 0)
-    data = img.astype(np.uint64 if xp is np else np.int32) + 1
+    # shift so the minimum value maps to 1 and 0 becomes the "no match"
+    # sentinel — a plain +1 collides with negative labels (e.g. the -1
+    # excluded-view label) and uint64 wrap; widen to int64 first so small
+    # dtypes cannot overflow (uint8 255 -> 0)
+    wide = img.astype(np.int64)
+    data = wide - wide.min() + 1
 
     a = data[0::2, 0::2]
     b = data[0::2, 1::2]
@@ -64,7 +67,7 @@ def _countless2d(img, xp):
     ac = a * (a == c)
     bc = b * (b == c)
     mode = _nz(_nz(ab, _nz(ac, bc, xp), xp), d, xp)
-    return (mode - 1).astype(img.dtype)
+    return (mode - 1 + wide.min()).astype(img.dtype)
 
 
 def downsample_mask(mask: np.ndarray, factor: int) -> np.ndarray:

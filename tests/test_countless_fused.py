@@ -80,3 +80,13 @@ def test_fused_ply_roundtrip(tmp_path):
     np.testing.assert_array_equal(rt.vis_offsets, pc.vis_offsets)
     np.testing.assert_array_equal(rt.vis_flat, pc.vis_flat)
     assert len(rt.visible_image_idxs(1)) == counts[1]
+
+
+def test_countless_negative_labels():
+    """-1 labels (excluded-view marker) must survive mode-downsampling —
+    a plain +1 sentinel shift collides them with 'no match'."""
+    from spinnerf_tpu.utils.countless import countless2d
+    img = np.array([[-1, -1], [5, 7]], np.int64)
+    assert countless2d(img)[0, 0] == -1
+    img2 = np.array([[-1, 3], [3, 7]], np.int32)
+    assert countless2d(img2)[0, 0] == 3

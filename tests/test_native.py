@@ -59,7 +59,36 @@ def test_columnar_sparse_depth_matches(scene_dir, built):
 
 def test_truncated_file_raises(built, tmp_path):
     from spinnerf_tpu.native import colmap_native as cn
-    with pytest.raises(ValueError, match="truncated"):
+    with pytest.raises(ValueError, match="truncated|corrupt"):
         cn.parse_points(b"\x10\x00\x00\x00\x00\x00\x00\x00short")
-    with pytest.raises(ValueError, match="truncated"):
+    with pytest.raises(ValueError, match="truncated|corrupt"):
         cn.parse_images(b"\x01\x00\x00\x00\x00\x00\x00\x00xx")
+
+
+def test_native_rejects_corrupt_models():
+    """Corrupt counts / truncation must raise ValueError, never crash."""
+    pytest.importorskip("spinnerf_tpu.native.colmap_native")
+    from spinnerf_tpu.native import colmap_native as cn
+    import struct
+    huge = struct.pack("<Q", 1 << 60)
+    for fn in (cn.parse_cameras, cn.parse_images, cn.parse_points):
+        with pytest.raises(ValueError):
+            fn(huge)
+        with pytest.raises(ValueError):
+            fn(b"\x03")   # truncated header
+    # image record with absurd 2D-point count
+    rec = struct.pack("<Q", 1) + struct.pack("<i", 1) + b"\x00" * 56 + \
+        struct.pack("<i", 1) + b"a.png\x00" + struct.pack("<Q", 1 << 50)
+    with pytest.raises(ValueError):
+        cn.parse_images(rec)
+
+
+def test_native_non_utf8_image_name():
+    """A latin-1 filename byte must raise, not segfault (Py_BuildValue s#)."""
+    pytest.importorskip("spinnerf_tpu.native.colmap_native")
+    from spinnerf_tpu.native import colmap_native as cn
+    import struct
+    rec = struct.pack("<Q", 1) + struct.pack("<i", 1) + b"\x00" * 56 + \
+        struct.pack("<i", 1) + b"caf\xe9.png\x00" + struct.pack("<Q", 0)
+    with pytest.raises((ValueError, UnicodeDecodeError)):
+        cn.parse_images(rec)
