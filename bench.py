@@ -1,8 +1,24 @@
-"""Benchmark: fused-train-step throughput in rays/sec/chip.
+"""Benchmark: fused-train-step throughput in rays/sec/chip (+MFU, hash-grid).
 
 Measures the flagship configuration (bf16 MLP field, 64+64 samples, four
 supervision groups fused into one render — the statue-f2 stage-5 workload
-shape) on whatever accelerator JAX exposes, and prints ONE JSON line.
+shape) on whatever accelerator JAX exposes, and prints ONE JSON line. The
+line's required keys are metric/value/unit/vs_baseline (flagship rays/s);
+`extra` carries the rest of the suite:
+
+  mfu                      achieved fraction of bf16 matmul peak for the
+                           flagship step (XLA cost_analysis FLOPs / wall)
+  step_ms                  flagship step wall-clock
+  hashgrid14_rays_per_sec  hash-grid field step, log2_hashmap_size=14
+                           (the TPU-recommended table size; see BASELINE.md)
+  hashgrid19_rays_per_sec  hash-grid field step at the reference default
+                           2^19 (`DS_NeRF/run_nerf_helpers_tcnn.py:24`) —
+                           honest number: the one-hot-matmul encode cost is
+                           linear in table size (ops/hash_encode.py), and no
+                           v5e-feasible formulation beats it (measured: XLA
+                           gather 665ms+8s flat; XLA sort 72ms per level-sort
+                           kills sorted-window gathers; per-row DMA is
+                           issue-bound ~6ns/row = 600ms floor).
 
 Baseline: the reference repo publishes no numbers (BASELINE.md); its A6000
 training loop runs ~4 chunked renders of 1024 rays each per iteration at
@@ -15,10 +31,39 @@ import json
 import sys
 import time
 
+# per-chip dense bf16 matmul peak, FLOP/s
+_PEAK = {
+    "TPU v5 lite": 197e12,
+    "TPU v5": 459e12,
+    "TPU v4": 275e12,
+    "TPU v6 lite": 918e12,
+}
+
+
+def _peak_flops(device) -> float:
+    kind = getattr(device, "device_kind", "")
+    for k, v in _PEAK.items():
+        if kind.startswith(k):
+            return v
+    return 197e12
+
+
+def _time_step(step, params, opt_state, n_steps, key):
+    import jax
+    for i in range(3):
+        key, k = jax.random.split(key)
+        params, opt_state, metrics = step(params, opt_state, k, i)
+    jax.block_until_ready(metrics["loss"])
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        key, k = jax.random.split(key)
+        params, opt_state, metrics = step(params, opt_state, k, i)
+    jax.block_until_ready(metrics["loss"])
+    return (time.perf_counter() - t0) / n_steps, metrics
+
 
 def main():
     import jax
-    import jax.numpy as jnp
     import numpy as np
 
     import tempfile
@@ -31,6 +76,8 @@ def main():
                                          make_train_step)
 
     n_rand = 1024
+    rays_per_step = n_rand * 4    # clf + rgb + inp + depth groups
+    on_tpu = jax.default_backend() != "cpu"
 
     with tempfile.TemporaryDirectory() as d:
         scene_dir = synthetic.make_scene(d, n_views=8, h=160, w=200, factor=1)
@@ -40,54 +87,73 @@ def main():
         bank = raybank.build_raybank(scene, np.arange(8),
                                      depth_list=depth_list)
 
-    # 8x256 MLP flagship. On a real TPU the field runs the Pallas fused
-    # encode+MLP kernel (ops/fused_mlp.py: PE computed in-kernel, weight-grads
-    # only, VMEM-resident activations — 1.6x over the XLA schedule on v5e);
-    # off-TPU it falls back to the flax field. (The hash-grid field is
-    # functional but gather-bound on TPU; see models/hashgrid.py notes.)
-    if jax.default_backend() != "cpu":
-        from spinnerf_tpu.ops.fused_mlp import FusedMLPField
-        model = FusedMLPField()
-    else:
-        model = NeRFField()
     rcfg = RenderConfig(n_samples=64, n_importance=64, perturb=True,
                         raw_noise_std=1.0)
     tcfg = TrainConfig(render=rcfg, n_rand=n_rand, depth_supervision=True,
                        lrate=0.01, lrate_decay=10)
     tx = schedule.make_optimizer(tcfg.lrate, tcfg.lrate_decay)
-    params = init_params(model, jax.random.PRNGKey(0), n_importance=64)
-    opt_state = tx.init(params)
-    step = make_train_step(model, tcfg, bank, tx)
 
-    # groups: clf + rgb + inp + depth = 4 ray groups per iteration
-    rays_per_step = n_rand * 4
+    def build_step(model):
+        params = init_params(model, jax.random.PRNGKey(0), n_importance=64)
+        return make_train_step(model, tcfg, bank, tx), params, tx.init(params)
 
-    key = jax.random.PRNGKey(1)
-    # warmup / compile
-    for i in range(3):
-        key, k = jax.random.split(key)
-        params, opt_state, metrics = step(params, opt_state, k, i)
-    jax.block_until_ready(metrics["loss"])
+    # --- flagship: 8x256 MLP. On a real TPU the field runs the Pallas fused
+    # encode+MLP kernel (ops/fused_mlp.py: PE computed in-kernel, weight-grads
+    # only, VMEM-resident activations — 1.6x over the XLA schedule on v5e);
+    # off-TPU it falls back to the flax field.
+    if on_tpu:
+        from spinnerf_tpu.ops.fused_mlp import FusedMLPField
+        model = FusedMLPField()
+    else:
+        model = NeRFField()
+    step, params, opt_state = build_step(model)
 
-    n_steps = 100
-    t0 = time.perf_counter()
-    for i in range(n_steps):
-        key, k = jax.random.split(key)
-        params, opt_state, metrics = step(params, opt_state, k, i)
-    jax.block_until_ready(metrics["loss"])
-    dt = time.perf_counter() - t0
+    # MFU: analytic matmul FLOPs of the field evaluations (XLA cost_analysis
+    # cannot see inside the Pallas fused kernel, so counting is done from the
+    # architecture). fwd = 2*MAC/point; training ~3x fwd (activation-grad
+    # chain + weight grads). Sampling/compositing are not matmuls and are
+    # excluded — standard MFU convention.
+    def _mlp_macs(depth=8, width=256, in_ch=63, views_ch=27):
+        macs = in_ch * width                      # input layer
+        macs += (depth - 2) * width * width       # plain hidden layers
+        macs += (width + in_ch) * width           # skip layer (at 4)
+        macs += width * 1 + width * width         # alpha head + feature
+        macs += (width + views_ch) * (width // 2) # view branch
+        macs += (width // 2) * 3                  # rgb head
+        return macs
 
-    rays_per_sec = rays_per_step * n_steps / dt
+    pts_per_step = rays_per_step * (rcfg.n_samples            # coarse net
+                                    + rcfg.n_samples + rcfg.n_importance)
+    flops = 3 * 2 * _mlp_macs() * pts_per_step
+
+    dt, metrics = _time_step(step, params, opt_state, 100,
+                             jax.random.PRNGKey(1))
+    rays_per_sec = rays_per_step / dt
+    extra = {"step_ms": round(dt * 1000, 2)}
+    if flops:
+        extra["mfu"] = round(flops / dt / _peak_flops(jax.devices()[0]), 4)
+        extra["step_tflops"] = round(flops / 1e12, 4)
+
+    # --- hash-grid field (reference default model): recommended TPU size and
+    # the reference-default 2^19 (slow by table-size-linear encode cost).
+    from spinnerf_tpu.models.hashgrid import HashGridField
+    for log2t, steps in ((14, 20), (19, 3)) if on_tpu else ((14, 3),):
+        hstep, hparams, hopt = build_step(
+            HashGridField(log2_table_size=log2t))
+        hdt, _ = _time_step(hstep, hparams, hopt, steps, jax.random.PRNGKey(2))
+        extra[f"hashgrid{log2t}_rays_per_sec"] = round(rays_per_step / hdt, 1)
+        extra[f"hashgrid{log2t}_step_ms"] = round(hdt * 1000, 1)
+
     baseline = 25000.0  # est. reference A6000 target-rays/s (see docstring)
     print(json.dumps({
         "metric": "fused_train_step_rays_per_sec_per_chip",
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / baseline, 3),
+        "extra": extra,
     }))
-    print(f"# {n_steps} steps in {dt:.2f}s = {n_steps/dt:.1f} it/s, "
-          f"loss={float(metrics['loss']):.4f}, "
-          f"psnr={float(metrics['psnr']):.2f}", file=sys.stderr)
+    print(f"# flagship {1/dt:.1f} it/s, loss={float(metrics['loss']):.4f}, "
+          f"psnr={float(metrics['psnr']):.2f}, extra={extra}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -30,6 +30,20 @@ def _neutralize_cuda():
         torch.cuda.empty_cache = lambda *a, **k: None
 
 
+def _patch_imageio():
+    """The reference calls `imageio.imread(f, ignoregamma=True)`
+    (`load_llff.py:137`); the kwarg was removed in imageio>=2.28. Accept and
+    drop it so the unmodified reference runs against the modern package."""
+    import imageio
+    orig = imageio.imread
+
+    def imread(uri, *args, **kwargs):
+        kwargs.pop("ignoregamma", None)
+        return orig(uri, *args, **kwargs)
+
+    imageio.imread = imread
+
+
 def load_reference(subdir: str = "DS_NeRF"):
     """Import `<subdir>/run_nerf.py` (+ its sibling modules) and return it.
 
@@ -39,6 +53,7 @@ def load_reference(subdir: str = "DS_NeRF"):
     if key in _loaded:
         return _loaded[key]
     _neutralize_cuda()
+    _patch_imageio()
     root = REFERENCE / subdir
     if not root.is_dir():
         raise FileNotFoundError(root)
