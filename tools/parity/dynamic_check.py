@@ -152,7 +152,7 @@ def compare(ws: Path, iters: int) -> dict:
     test_views = [0, 5]  # llffhold=5 over 10 views
     rows = []
     for k, v in enumerate(test_views):
-        ref_img = _imread(ref_dir / f"{k:03d}.png")
+        ref_img = _imread(ref_dir / "rgb" / f"{k:06d}.png")
         our_img = _imread(our_dir / "rgb" / f"{k:06d}.png")
         gt = _imread(names[v])
         rows.append({
