@@ -92,6 +92,17 @@ def main(argv=None):
         elif cfg.render_train:
             poses, name = tr.scene.poses[tr.i_train], "train"
             gt = tr.scene.images[tr.i_train]
+        elif cfg.render_mypath:
+            # circular path around test view 3 (`run_nerf.py:1124-1127`)
+            from spinnerf_tpu.utils.renderpath import generate_renderpath
+            anchors = tr.scene.poses[tr.i_test][3:4]
+            if len(anchors) == 0:       # fewer than 4 test views
+                anchors = tr.scene.poses[tr.i_test][:1]
+            if len(anchors) == 0:       # no test views at all: use holdout
+                anchors = tr.scene.poses[tr.scene.i_holdout:
+                                         tr.scene.i_holdout + 1]
+            poses = generate_renderpath(anchors, tr.scene.hwf[2], sc=1.0)
+            name, gt = "mypath", None
         else:
             poses, name, gt = tr.scene.render_poses, "path", None
         out = tr.exp_dir / f"renderonly_{name}_{start:06d}"

@@ -47,7 +47,8 @@ class Config:
     white_bkgd: bool = False
     render_factor: int = 0
     chunk: int = 1024 * 32
-    netchunk: int = 1024 * 64         # kept for CLI compat; fused step ignores
+    netchunk: int = 1024 * 64         # max points per network eval (bounds
+    #                                   the remat chunk size in the train step)
 
     # training
     N_rand: int = 1024
@@ -94,7 +95,9 @@ class Config:
     masked_NeRF: bool = False
     object_removal: bool = False
     no_geometry: bool = False
-    tmp_images: bool = False
+    tmp_images: bool = False          # parse-and-ignore IN THE REFERENCE TOO
+    #                                   (`run_nerf.py:913` is argparse-only);
+    #                                   kept for config-file compatibility
     lpips_render_factor: int = 2
     patch_len_factor: int = 8
     lpips_batch_size: int = 4
@@ -104,11 +107,14 @@ class Config:
     mask_subdir: str = "label"        # e.g. label_mv_bootstrapped for MVSeg
     masks_gt_subdir: str | None = None  # e.g. label_full for IoU eval
     clf_weight: float = 0.01
-    clf_reg_weight: float = 0.01
+    clf_reg_weight: float = 0.01      # parse-and-ignore IN THE REFERENCE TOO
+    #                                   (`run_nerf.py:893` is argparse-only)
     feat_weight: float = 0.01
     render_mask: bool = False
     post_opening: bool = False
-    feature_field: bool = False
+    feature_field: bool = False       # parse-and-ignore IN THE REFERENCE TOO
+    #                                   (`MVSeg/.../run_nerf.py:890` is
+    #                                   argparse-only)
 
     # render-only modes
     render_only: bool = False

@@ -326,7 +326,8 @@ def load_scene(scene_dir, factor: int = 4, *, prepare: bool = False,
 
 
 def train_test_split(n_images: int, *, n_gt: int = 0, train_gt: bool = False,
-                     llffhold: int = 0, n_train: int | None = None):
+                     llffhold: int = 0, n_train: int | None = None,
+                     train_scene=None, test_scene=None):
     """Reproduce the reference's view-split logic (`run_nerf.py:997-1039`).
 
     SPIn-NeRF datasets put the N_gt object-removed GT views FIRST: those become
@@ -335,13 +336,26 @@ def train_test_split(n_images: int, *, n_gt: int = 0, train_gt: bool = False,
     Quirk kept deliberately: with `llffhold > 0` and no N_gt, the holdout
     views stay INSIDE i_train — SPIn-NeRF's LLFF branch sets i_train to ALL
     views (`run_nerf.py:1009`), unlike vanilla NeRF which excluded i_test.
+
+    `test_scene` overrides the llffhold holdout outright (`run_nerf.py:1001`);
+    a single negative index means "no test views" (`run_nerf.py:1004`).
+    `train_scene`, when given, restricts training to those views minus the
+    test set (`run_nerf.py:1008-1012`). Both apply BEFORE the N_gt logic.
     """
     i_all = np.arange(n_images)
     if llffhold > 0:
         i_test = i_all[::llffhold]
     else:
         i_test = np.array([], dtype=int)
-    i_train = i_all
+    if test_scene:
+        i_test = np.asarray(list(test_scene), dtype=int)
+        if len(i_test) and i_test[0] < 0:
+            i_test = np.array([], dtype=int)
+    if train_scene:
+        i_train = np.asarray([i for i in train_scene if i not in i_test],
+                             dtype=int)
+    else:
+        i_train = i_all
     if n_gt > 0:
         if train_gt:
             i_test = i_train
@@ -350,4 +364,4 @@ def train_test_split(n_images: int, *, n_gt: int = 0, train_gt: bool = False,
             i_test = i_train[:n_gt]
             i_train = (i_train[n_gt:] if n_train is None
                        else i_train[n_gt:n_gt + n_train])
-    return i_train, i_test
+    return np.asarray(i_train), np.asarray(i_test)

@@ -88,7 +88,8 @@ def render_frame(key, c2w, hwf, field_fn, cfg: RenderConfig, *,
 
 def make_param_frame_renderer(hwf, apply_fn, cfg: RenderConfig, *, near, far,
                               ndc: bool = False, chunk: int = 8192,
-                              render_factor: int = 0, mesh=None):
+                              render_factor: int = 0, mesh=None,
+                              fine_apply_fn=None):
     """Like `make_frame_renderer` but the field params are jit ARGUMENTS:
     `(params, key, c2w) -> maps` with params = {"coarse": ..., ["fine": ...]}.
 
@@ -107,8 +108,10 @@ def make_param_frame_renderer(hwf, apply_fn, cfg: RenderConfig, *, near, far,
             return apply_fn(params["coarse"], pts, vd)
 
         if "fine" in params:
+            _fine_apply = fine_apply_fn or apply_fn
+
             def fine(pts, vd):
-                return apply_fn(params["fine"], pts, vd)
+                return _fine_apply(params["fine"], pts, vd)
         else:
             fine = coarse
         batch, _ = raybank.frame_ray_batch((h, w, focal), c2w, near, far,

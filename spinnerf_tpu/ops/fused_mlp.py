@@ -671,6 +671,13 @@ class FusedMLPField:
                  semantic: bool = False, block: int = 512,
                  compute_dtype=jnp.bfloat16):
         from spinnerf_tpu.models.fields import NeRFField
+        if depth == 5:
+            # skip (4) would concat after the LAST trunk layer, feeding the
+            # heads a [in_dim+width] vector — a geometry neither the weight
+            # converter nor the backward kernel supports; use NeRFField
+            raise ValueError(
+                "FusedMLPField does not support depth == skip+1 == 5 "
+                "(skip-concat would feed the heads); use NeRFField")
         self.semantic = semantic
         self.dims = dims_for_field(
             multires=multires, multires_views=multires_views, width=width,

@@ -100,9 +100,14 @@ def export_masks(trainer, out_subdir: str = "label", *, opening: bool = True,
 
 
 def render_object_removed(trainer, poses, *, bg_key=None,
-                          render_factor: int = 0, threshold=None):
+                          render_factor: int = 0, threshold=None,
+                          mask_filter: bool = False):
     """only_object render: delete the object, optionally compositing leftover
     transparency onto a random background (the MVSeg object-removal preview).
+
+    mask_filter: white out every pixel the semantic head does NOT attribute
+    to the object — `sigmoid(prob) * acc > 0.5` gates the render and the
+    rest goes to 1.0 (`MVSeg/DS_NeRF/run_nerf.py:194-197`).
     """
     cfg = trainer.cfg
     coarse_fn, fine_fn = trainer.field_fns()
@@ -117,6 +122,10 @@ def render_object_removed(trainer, poses, *, bg_key=None,
     for i, c2w in enumerate(poses):
         maps = renderer(jax.random.PRNGKey(i), jnp.asarray(c2w))
         rgb = maps["rgb"]
+        if mask_filter:
+            prob = 1.0 / (1.0 + np.exp(-np.asarray(maps["prob"])))
+            m = (prob * np.asarray(maps["acc"]) > 0.5).astype(np.float32)
+            rgb = rgb * m[..., None] + (1.0 - m[..., None])
         if bg_key is not None:
             bg = np.asarray(jax.random.uniform(
                 jax.random.fold_in(bg_key, i), (3,)))

@@ -58,6 +58,37 @@ class CheckpointManager:
         self._mgr.close()
 
 
+def restore_from_path(path, *, like=None):
+    """Resolve `--ft_path` (`run_nerf.py:1151-1157`: an explicit weights file
+    overrides the exp dir's own checkpoint scan). Accepts an experiment dir,
+    its `checkpoints/` dir, or a stripped `params_N` dump written by
+    `strip_checkpoint`.
+
+    Returns (step, {"params": ..., "opt_state": ... | None}); opt_state is
+    None for params-only dumps (caller keeps its fresh optimizer state — the
+    reference likewise fine-tunes with a fresh optimizer when loading npy
+    weights).
+    """
+    import re
+
+    p = Path(path).resolve()
+    if not p.exists():
+        raise FileNotFoundError(f"--ft_path {p} does not exist")
+    if (p / "checkpoints").is_dir():
+        return CheckpointManager(p).restore(like=like)
+    if p.name == "checkpoints" and p.is_dir():
+        return CheckpointManager(p.parent).restore(like=like)
+    # stripped params-only dump (StandardCheckpointer layout)
+    ckptr = ocp.StandardCheckpointer()
+    if like is not None and "params" in like:
+        params = ckptr.restore(p, like["params"])
+    else:
+        params = ckptr.restore(p)
+    m = re.search(r"(\d+)$", p.name)
+    return (int(m.group(1)) if m else 0), {"params": params,
+                                           "opt_state": None}
+
+
 def strip_checkpoint(exp_dir, out_dir, *, step=None):
     """Write a distribution checkpoint containing only the parameters
     (parity: `lama/bin/make_checkpoint.py` — strip optimizer/training state).

@@ -37,21 +37,32 @@ class TrainState:
     step: int
 
 
-def build_model(cfg: Config, semantic: bool = False):
+def build_model(cfg: Config, semantic: bool = False, fine: bool = False):
+    """Build the (coarse or fine) field for a Config.
+
+    fine=True uses `--netdepth_fine/--netwidth_fine` (`run_nerf.py:417`);
+    `--i_embed -1` selects the identity encoding — 0 PE octaves keep the raw
+    xyz/dir inputs (`run_nerf_helpers.py:55-57`).
+    """
+    depth = cfg.netdepth_fine if fine else cfg.netdepth
+    width = cfg.netwidth_fine if fine else cfg.netwidth
+    multires = 0 if cfg.i_embed == -1 else cfg.multires
+    multires_views = 0 if cfg.i_embed == -1 else cfg.multires_views
     if cfg.no_tcnn:
         # the fused Pallas kernel needs a real TPU, viewdirs, and no
         # frozen-sigma (NeRF_RGB) mode; otherwise use the flax field
         if (cfg.fused_mlp and cfg.use_viewdirs and not cfg.alpha_model_path
+                and cfg.i_embed != -1 and depth != 5
                 and jax.default_backend() not in ("cpu",)):
             from spinnerf_tpu.ops.fused_mlp import FusedMLPField
             return FusedMLPField(
-                depth=cfg.netdepth, width=cfg.netwidth,
-                multires=cfg.multires, multires_views=cfg.multires_views,
+                depth=depth, width=width,
+                multires=multires, multires_views=multires_views,
                 semantic=semantic,
                 compute_dtype=jnp.dtype(cfg.compute_dtype))
         return NeRFField(
-            depth=cfg.netdepth, width=cfg.netwidth,
-            multires=cfg.multires, multires_views=cfg.multires_views,
+            depth=depth, width=width,
+            multires=multires, multires_views=multires_views,
             use_viewdirs=cfg.use_viewdirs, semantic=semantic,
             compute_dtype=jnp.dtype(cfg.compute_dtype))
     # hash-grid default (reference defaults to NeRF_TCNN, `run_nerf.py:1144`)
@@ -88,6 +99,7 @@ def train_config(cfg: Config) -> TrainConfig:
         precrop_iters=cfg.precrop_iters,
         precrop_frac=cfg.precrop_frac,
         depth_supervision=cfg.colmap_depth and cfg.depth_loss,
+        depth_with_rgb=cfg.depth_with_rgb,
         depth_lambda=cfg.depth_lambda,
         weighted_loss=cfg.weighted_loss,
         relative_loss=cfg.relative_loss,
@@ -97,6 +109,7 @@ def train_config(cfg: Config) -> TrainConfig:
         semantic=cfg.mvseg,
         clf_weight=cfg.clf_weight,
         distortion_weight=cfg.distortion_weight,
+        netchunk=cfg.netchunk,
         lrate=cfg.lrate,
         lrate_decay=cfg.lrate_decay,
         grad_clip=cfg.grad_clip,
@@ -114,17 +127,19 @@ class Trainer:
         self.exp_dir.mkdir(parents=True, exist_ok=True)
         cfg.save()
 
-        # --- data ---
-        self.scene = scene if scene is not None else llff.load_scene(
-            cfg.datadir, factor=cfg.factor, prepare=cfg.prepare,
-            spherify=cfg.spherify, lpips_mode=cfg.lpips,
-            mask_subdir=cfg.mask_subdir,
-            masks_gt_subdir=cfg.masks_gt_subdir,
-            dilate_iterations=cfg.mask_dilate_iters)
-        self.i_train, self.i_test = llff.train_test_split(
-            len(self.scene.images), n_gt=cfg.N_gt, train_gt=cfg.train_gt,
-            llffhold=0 if cfg.llffhold >= 1000000 else cfg.llffhold,
-            n_train=cfg.N_train)
+        # --- data (dataset_type dispatch, `run_nerf.py:985-1112`) ---
+        near = far = None
+        if scene is not None:
+            self.scene = scene
+            self.i_train, self.i_test = llff.train_test_split(
+                len(scene.images), n_gt=cfg.N_gt, train_gt=cfg.train_gt,
+                llffhold=0 if cfg.llffhold >= 1000000 else cfg.llffhold,
+                n_train=cfg.N_train,
+                train_scene=cfg.train_scene, test_scene=cfg.test_scene)
+        else:
+            from spinnerf_tpu.data.dispatch import load_scene_for_config
+            self.scene, self.i_train, self.i_test, near, far = \
+                load_scene_for_config(cfg)
 
         depth_list = None
         if cfg.colmap_depth:
@@ -132,14 +147,20 @@ class Trainer:
             depth_list = colmap_fast.sparse_depth_for_views(
                 Path(cfg.datadir) / "sparse" / "0", factor=cfg.factor,
                 bd_scale=self.scene.scale)
+        use_ndc = (cfg.ndc if cfg.dataset_type in ("llff", "nerd")
+                   and not cfg.no_ndc else False)
         self.bank = raybank.build_raybank(
             self.scene, self.i_train, depth_list=depth_list,
             prepare=cfg.prepare, train_gt=cfg.train_gt,
-            semantic=cfg.mvseg, ndc=cfg.ndc
-            if cfg.dataset_type == "llff" and not cfg.no_ndc else False)
+            semantic=cfg.mvseg, ndc=use_ndc, near=near, far=far)
 
         # --- model + step ---
         self.model = build_model(cfg, semantic=cfg.mvseg)
+        # the fine network may be sized separately (`run_nerf.py:417`)
+        self.fine_model = self.model
+        if (cfg.no_tcnn and (cfg.netdepth_fine != cfg.netdepth
+                             or cfg.netwidth_fine != cfg.netwidth)):
+            self.fine_model = build_model(cfg, semantic=cfg.mvseg, fine=True)
         self.tcfg = train_config(cfg)
         self.tx = schedule.make_optimizer(cfg.lrate, cfg.lrate_decay,
                                           cfg.grad_clip)
@@ -182,32 +203,46 @@ class Trainer:
         self.step_fn = make_train_step(self.model, self.tcfg, self.bank,
                                        self.tx, mesh=self.mesh,
                                        lpips_fn=lpips_fn,
-                                       frozen_raw_fn=frozen_raw_fn)
+                                       frozen_raw_fn=frozen_raw_fn,
+                                       fine_model=self.fine_model)
 
         key = jax.random.PRNGKey(cfg.seed)
         self.key, k_init = jax.random.split(key)
         params = init_params(self.model, k_init,
-                             n_importance=cfg.N_importance)
+                             n_importance=cfg.N_importance,
+                             fine_model=self.fine_model)
         opt_state = self.tx.init(params)
         self.state = TrainState(params=params, opt_state=opt_state, step=0)
 
         # --- resume ---
         self.ckpt = checkpoints.CheckpointManager(
             self.exp_dir, save_interval=cfg.i_weights)
-        if not cfg.no_reload:
+        if cfg.ft_path:
+            # --ft_path: explicit weights override the exp dir's own
+            # checkpoint scan (`run_nerf.py:1151-1157`)
+            step, restored = checkpoints.restore_from_path(
+                cfg.ft_path, like={"params": params, "opt_state": opt_state})
+            if step is None:
+                raise FileNotFoundError(
+                    f"--ft_path {cfg.ft_path}: no checkpoint found")
+        elif not cfg.no_reload:
             step, restored = self.ckpt.restore(
                 like={"params": params, "opt_state": opt_state})
-            if step is not None:
-                if self.mesh is not None:
-                    # restored arrays come back committed to one device;
-                    # replicate over the mesh so sharded step/render jits
-                    # accept them
-                    restored = jax.device_put(
-                        restored, mesh_lib.replicated(self.mesh))
-                self.state = TrainState(params=restored["params"],
-                                        opt_state=restored["opt_state"],
-                                        step=step)
-                self.log(f"resumed from checkpoint at step {step}")
+        else:
+            step, restored = None, None
+        if step is not None:
+            if restored.get("opt_state") is None:
+                restored["opt_state"] = opt_state  # params-only dump
+            if self.mesh is not None:
+                # restored arrays come back committed to one device;
+                # replicate over the mesh so sharded step/render jits
+                # accept them
+                restored = jax.device_put(
+                    restored, mesh_lib.replicated(self.mesh))
+            self.state = TrainState(params=restored["params"],
+                                    opt_state=restored["opt_state"],
+                                    step=step)
+            self.log(f"resumed from checkpoint at step {step}")
 
     # --- rendering helpers ---------------------------------------------------
 
@@ -220,7 +255,7 @@ class Trainer:
             return coarse, coarse
 
         def fine(pts, vd):
-            return self.model.apply(params["fine"], pts, vd)
+            return self.fine_model.apply(params["fine"], pts, vd)
         return coarse, fine
 
     def _frame_renderer(self, render_factor: int):
@@ -234,7 +269,9 @@ class Trainer:
                 self.scene.hwf, self.model.apply,
                 render_config(self.cfg, train=False), near=self.bank.near,
                 far=self.bank.far, ndc=self.bank.ndc, chunk=self.cfg.chunk,
-                render_factor=render_factor, mesh=self.mesh)
+                render_factor=render_factor, mesh=self.mesh,
+                fine_apply_fn=(None if self.fine_model is self.model
+                               else self.fine_model.apply))
         return cache[render_factor]
 
     def render_poses_list(self, poses, *, render_factor=None, save_dir=None,
@@ -342,7 +379,8 @@ class Trainer:
         the sparse-depth batch when enabled) — the rays/s denominator."""
         from spinnerf_tpu.train.step import _active_groups
         n = len(_active_groups(self.tcfg, self.bank))
-        if (self.tcfg.depth_supervision and self.bank.depth_group is not None
+        if (self.tcfg.depth_supervision and not self.tcfg.depth_with_rgb
+                and self.bank.depth_group is not None
                 and self.bank.depth_group.count > 0):
             n += 1
         return n

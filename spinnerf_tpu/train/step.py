@@ -51,6 +51,10 @@ class TrainConfig(NamedTuple):
     precrop_iters: int = 0
     precrop_frac: float = 0.5
     depth_supervision: bool = False     # --colmap_depth --depth_loss
+    depth_with_rgb: bool = False        # --depth_with_rgb: no separate depth
+    #                                     render; supervise the photometric
+    #                                     batch's own rendered depth
+    #                                     (`run_nerf.py:1478-1479`)
     depth_lambda: float = 0.1
     weighted_loss: bool = False
     relative_loss: bool = False
@@ -63,6 +67,12 @@ class TrainConfig(NamedTuple):
     remat_chunks: int = 32              # TPU extra: scan-chunked rematerialized
     #                                     field eval — measured +41% step
     #                                     throughput on v5e (0/1 disables)
+    netchunk: int = 1024 * 64           # --netchunk: max points per network
+    #                                     eval (`run_nerf.py:77-88` batchify);
+    #                                     raises the remat chunk count when a
+    #                                     fused batch would exceed it. The
+    #                                     Pallas fused field satisfies it by
+    #                                     construction (<=512-pt VMEM blocks).
     lrate: float = 5e-4
     lrate_decay: float = 250.0
     grad_clip: float | None = None
@@ -101,7 +111,8 @@ def _concat_batches(batches: list[dict]) -> dict:
 def make_train_step(model, cfg: TrainConfig, bank: raybank.RayBank,
                     tx: optax.GradientTransformation,
                     mesh=None, lpips_fn: Callable | None = None,
-                    frozen_raw_fn: Callable | None = None):
+                    frozen_raw_fn: Callable | None = None,
+                    fine_model=None):
     """Build the jitted train step.
 
     Args:
@@ -115,6 +126,9 @@ def make_train_step(model, cfg: TrainConfig, bank: raybank.RayBank,
       frozen_raw_fn: optional frozen field `(pts, vd) -> raw`; its density
         (stop-gradiented) replaces the trained field's sigma — the NeRF_RGB /
         --alpha_model_path mode (`run_nerf_helpers.py:159-216`).
+      fine_model: optional separately-sized module for the fine pass
+        (`--netdepth_fine/--netwidth_fine`, `run_nerf.py:417-420`); defaults
+        to `model`.
 
     Returns:
       step(params, opt_state, key, step_idx) -> (params, opt_state, metrics)
@@ -125,23 +139,32 @@ def make_train_step(model, cfg: TrainConfig, bank: raybank.RayBank,
     b = cfg.n_rand
     rcfg = cfg.render
 
-    def _raw(p, pts, vd):
-        if frozen_raw_fn is None:
-            return model.apply(p, pts, vd)
-        frozen = jax.lax.stop_gradient(frozen_raw_fn(pts, vd)[..., 3:4])
-        return model.apply(p, pts, vd, frozen_sigma=frozen)
+    fine_mod = fine_model if fine_model is not None else model
 
-    def _apply(p, pts, vd):
+    def _raw(mod, p, pts, vd):
+        if frozen_raw_fn is None:
+            return mod.apply(p, pts, vd)
+        frozen = jax.lax.stop_gradient(frozen_raw_fn(pts, vd)[..., 3:4])
+        return mod.apply(p, pts, vd, frozen_sigma=frozen)
+
+    def _apply(mod, p, pts, vd):
         c = cfg.remat_chunks
         # engage only when chunks stay big enough to fill the MXU; tiny
         # scan-of-remat graphs are slower and have crashed XLA:CPU.
         # Fused-kernel fields do their own in-VMEM rematerialization —
         # scan-chunking them only adds launch overhead.
-        if getattr(model, "is_fused", False):
-            return _raw(p, pts, vd)
+        if getattr(mod, "is_fused", False):
+            return _raw(mod, p, pts, vd)
+        n = pts.shape[0]
+        if cfg.netchunk and c >= 1 and n > cfg.netchunk * max(c, 1):
+            # --netchunk bounds points per network eval: raise the chunk
+            # count to the next divisor of n that honours it
+            c = max(c, -(-n // cfg.netchunk))
+            while n % c != 0 and c < n:
+                c += 1
         if c <= 1 or pts.shape[0] % c != 0 or pts.shape[0] // c < 64:
-            return _raw(p, pts, vd)
-        ck = jax.checkpoint(lambda p_, x, d: _raw(p_, x, d))
+            return _raw(mod, p, pts, vd)
+        ck = jax.checkpoint(lambda p_, x, d: _raw(mod, p_, x, d))
         b = pts.shape[0]
         xs = pts.reshape(c, b // c, *pts.shape[1:])
         ds = vd.reshape(c, b // c, vd.shape[-1])
@@ -150,13 +173,13 @@ def make_train_step(model, cfg: TrainConfig, bank: raybank.RayBank,
 
     def field_fns(params):
         def coarse(pts, vd):
-            return _apply(params["coarse"], pts, vd)
+            return _apply(model, params["coarse"], pts, vd)
 
         if cfg.share_coarse_fine or "fine" not in params:
             return coarse, coarse
 
         def fine(pts, vd):
-            return _apply(params["fine"], pts, vd)
+            return _apply(fine_mod, params["fine"], pts, vd)
         return coarse, fine
 
     def loss_fn(params, key, step_idx):
@@ -176,9 +199,10 @@ def make_train_step(model, cfg: TrainConfig, bank: raybank.RayBank,
             targets.append(tg)
         if use_depth:
             depth_batch = raybank.sample_depth_group(k_depth, bank, b)
-            batches.append({k: depth_batch[k]
-                            for k in ("origins", "directions", "near", "far",
-                                      "viewdirs")})
+            if not cfg.depth_with_rgb:
+                batches.append({k: depth_batch[k]
+                                for k in ("origins", "directions", "near",
+                                          "far", "viewdirs")})
 
         fused = _concat_batches(batches)
         if mesh is not None:
@@ -247,7 +271,12 @@ def make_train_step(model, cfg: TrainConfig, bank: raybank.RayBank,
 
         # --- depth: COLMAP sparse supervision ---
         if use_depth:
-            i = len(groups)
+            # --depth_with_rgb reuses the primary photometric batch's rendered
+            # depth instead of rendering the depth rays (`run_nerf.py:
+            # 1478-1479`: `depth_col = depth` of the clf render); the targets
+            # and weights still come from the sparse-depth batch
+            i = (gi["clf"] if "clf" in gi else gi["rgb"]) \
+                if cfg.depth_with_rgb else len(groups)
             pred_depth = seg(fine.depth, i)
             d_loss = losses.depth_loss(
                 pred_depth, depth_batch["depths"],
@@ -301,12 +330,16 @@ def make_train_step(model, cfg: TrainConfig, bank: raybank.RayBank,
 
 
 def init_params(model, key, *, share_coarse_fine: bool = False,
-                n_importance: int = 64):
-    """Initialize {"coarse", "fine"} parameter trees."""
+                n_importance: int = 64, fine_model=None):
+    """Initialize {"coarse", "fine"} parameter trees.
+
+    fine_model: optional separately-sized module for the fine pass
+    (`--netdepth_fine/--netwidth_fine`); defaults to `model`.
+    """
     pts = jnp.zeros((1, 2, 3))
     vd = jnp.zeros((1, 3))
     k1, k2 = jax.random.split(key)
     params: dict[str, Any] = {"coarse": model.init(k1, pts, vd)}
     if n_importance > 0 and not share_coarse_fine:
-        params["fine"] = model.init(k2, pts, vd)
+        params["fine"] = (fine_model or model).init(k2, pts, vd)
     return params

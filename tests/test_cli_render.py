@@ -45,6 +45,18 @@ def test_render_path_mode(trained_exp):
     assert outs and (outs[0] / "disp.mp4").exists()
 
 
+def test_render_mypath_mode(trained_exp):
+    """--render_mypath: circular path around a held-out view
+    (`run_nerf.py:1124-1127,1176`)."""
+    tmp, args = trained_exp
+    assert cli_main(["render"] + args + ["--render_only", "True",
+                                         "--render_mypath", "True"]) == 0
+    outs = list((tmp / "logs" / "cli").glob("renderonly_mypath_*"))
+    assert outs, "no renderonly_mypath dir written"
+    frames = list((outs[0] / "rgb").glob("*.png"))
+    assert len(frames) == 40  # one orbit of 40 poses around the anchor
+
+
 def test_render_test_ray_mode(trained_exp):
     tmp, args = trained_exp
     assert cli_main(["render"] + args + ["--render_only", "True",

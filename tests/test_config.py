@@ -112,3 +112,27 @@ def test_reference_flag_surface_complete():
     ours = {f.name for f in dataclasses.fields(Config)}
     missing = sorted(set(REFERENCE_FLAGS) - ours)
     assert not missing, f"reference flags without Config fields: {missing}"
+
+
+def test_no_silently_dead_flags():
+    """Every Config field must be read somewhere outside config.py, except the
+    three that are parse-and-ignore IN THE REFERENCE TOO (documented in
+    config.py and PARITY.md): tmp_images (`run_nerf.py:913`), clf_reg_weight
+    (`:893`), feature_field (`MVSeg run_nerf.py:890`)."""
+    import dataclasses
+    import subprocess
+    from pathlib import Path
+
+    pkg = Path(__file__).resolve().parent.parent / "spinnerf_tpu"
+    src = ""
+    for p in pkg.rglob("*.py"):
+        if p.name != "config.py":
+            src += p.read_text()
+    reference_ignores = {"tmp_images", "clf_reg_weight", "feature_field"}
+    dead = []
+    for f in dataclasses.fields(Config):
+        if f.name in reference_ignores:
+            continue
+        if f.name not in src:
+            dead.append(f.name)
+    assert not dead, f"Config fields parsed but never read: {dead}"

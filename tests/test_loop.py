@@ -59,6 +59,59 @@ def test_trainer_checkpoint_resume(scene_dir, tmp_path):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
 
+def test_separate_fine_model_sizes(scene_dir, tmp_path):
+    """--netdepth_fine/--netwidth_fine size the fine network independently
+    (`run_nerf.py:417-420`): params differ in shape, training and rendering
+    still run."""
+    cfg = tiny_config(scene_dir, tmp_path, expname="finesz",
+                      netdepth_fine=3, netwidth_fine=40)
+    tr = Trainer(cfg, log=lambda *a: None)
+    assert tr.fine_model is not tr.model
+    ck = tr.state.params["coarse"]["params"]["trunk_0"]["kernel"]
+    fk = tr.state.params["fine"]["params"]["trunk_0"]["kernel"]
+    assert ck.shape[-1] == 32 and fk.shape[-1] == 40
+    st = tr.fit(n_iters=4, hooks=False)
+    assert st.step == 4
+    rgbs, _ = tr.render_poses_list(tr.scene.poses[:1])
+    assert np.isfinite(rgbs).all()
+
+
+def test_ft_path_loads_external_weights(scene_dir, tmp_path):
+    """--ft_path: an explicit checkpoint path overrides the exp dir's own
+    scan (`run_nerf.py:1151-1157`) — works for a foreign exp dir and for a
+    stripped params-only dump."""
+    from spinnerf_tpu.train import checkpoints
+
+    cfg = tiny_config(scene_dir, tmp_path, expname="src", i_weights=20)
+    tr = Trainer(cfg, log=lambda *a: None)
+    tr.fit(n_iters=20, hooks=True)
+    tr.ckpt.wait()
+
+    def kernel(t):
+        return np.asarray(jnp.asarray(next(iter(
+            t.state.params["coarse"]["params"].values()))["kernel"]))
+
+    # (a) foreign experiment dir
+    cfg2 = tiny_config(scene_dir, tmp_path, expname="ft_a",
+                       ft_path=str(tr.exp_dir))
+    tr2 = Trainer(cfg2, log=lambda *a: None)
+    assert tr2.state.step == 20
+    np.testing.assert_allclose(kernel(tr2), kernel(tr))
+
+    # (b) stripped params-only dump: params load, optimizer state is fresh
+    _, dump = checkpoints.strip_checkpoint(tr.exp_dir, tmp_path / "strip")
+    cfg3 = tiny_config(scene_dir, tmp_path, expname="ft_b",
+                       ft_path=str(dump))
+    tr3 = Trainer(cfg3, log=lambda *a: None)
+    np.testing.assert_allclose(kernel(tr3), kernel(tr))
+
+    # (c) missing path fails loudly
+    cfg4 = tiny_config(scene_dir, tmp_path, expname="ft_c",
+                       ft_path=str(tmp_path / "nope"))
+    with pytest.raises(FileNotFoundError):
+        Trainer(cfg4, log=lambda *a: None)
+
+
 def test_prepare_hook_writes_lama_staging(scene_dir, tmp_path):
     cfg = tiny_config(scene_dir, tmp_path, expname="prep", prepare=True)
     tr = Trainer(cfg, log=lambda *a: None)

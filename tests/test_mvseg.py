@@ -24,7 +24,8 @@ def trainer(scene_dir, tmp_path_factory):
         expname="mv", basedir=str(tmp_path_factory.mktemp("logs")),
         datadir=str(scene_dir), factor=1, no_ndc=True, no_tcnn=True,
         mvseg=True, masks_gt_subdir="label_full",
-        netdepth=2, netwidth=48, multires=4, multires_views=2,
+        netdepth=2, netwidth=48, netdepth_fine=2, netwidth_fine=48,
+        multires=4, multires_views=2,
         N_samples=12, N_importance=6, N_rand=128,
         lrate=5e-3, lrate_decay=250, clf_weight=0.3, mask_dilate_iters=0,
         i_print=1000, i_weights=0, i_video=0, i_testset=0, i_feat=0,
@@ -85,6 +86,20 @@ def test_object_removed_render(trainer):
     rgbs = mvseg.render_object_removed(trainer, trainer.scene.poses[:1])
     assert rgbs.shape == (1, 36, 44, 3)
     assert np.isfinite(rgbs).all()
+
+
+def test_mask_filter_whites_out_background(trainer):
+    """mask_filter gates the render by sigmoid(prob)*acc > 0.5 and sends the
+    rest to white (`MVSeg/DS_NeRF/run_nerf.py:194-197`)."""
+    plain = mvseg.render_object_removed(trainer, trainer.scene.poses[:1])
+    filt = mvseg.render_object_removed(trainer, trainer.scene.poses[:1],
+                                       mask_filter=True)
+    assert filt.shape == plain.shape
+    # every pixel is either exactly white or the plain render
+    white = np.all(filt == 1.0, axis=-1)
+    same = np.all(np.isclose(filt, plain, atol=1e-6), axis=-1)
+    assert (white | same).all()
+    assert white.any(), "nothing was filtered to white"
 
 
 def test_export_masks_writes_dataset_layout(trainer, scene_dir):

@@ -50,7 +50,8 @@ def test_single_image_precrop(bank):
 def test_no_batching_trainer(scene_dir, tmp_path):
     cfg = Config(expname="nb", basedir=str(tmp_path), datadir=str(scene_dir),
                  factor=1, no_ndc=True, no_tcnn=True, no_batching=True,
-                 precrop_iters=5, netdepth=2, netwidth=32, multires=4,
+                 precrop_iters=5, netdepth=2, netwidth=32, netdepth_fine=2,
+                 netwidth_fine=32, multires=4,
                  multires_views=2, N_samples=8, N_importance=4, N_rand=64,
                  lrate=5e-3, i_print=1000, i_weights=0, i_video=0,
                  i_testset=0, i_feat=0, chunk=2048, compute_dtype="float32")
@@ -97,7 +98,8 @@ def test_weight_argmax_depth():
 def test_strip_checkpoint(scene_dir, tmp_path):
     cfg = Config(expname="st", basedir=str(tmp_path), datadir=str(scene_dir),
                  factor=1, no_ndc=True, no_tcnn=True, netdepth=2, netwidth=32,
-                 multires=4, multires_views=2, N_samples=8, N_importance=4,
+                 netdepth_fine=2, netwidth_fine=32, multires=4,
+                 multires_views=2, N_samples=8, N_importance=4,
                  N_rand=32, i_weights=5, i_print=1000, i_video=0, i_testset=0,
                  i_feat=0, chunk=2048, compute_dtype="float32")
     tr = Trainer(cfg, log=lambda *a: None)
@@ -114,7 +116,8 @@ def test_alpha_model_path_frozen_sigma(scene_dir, tmp_path):
     """NeRF_RGB mode: with a frozen alpha model, density must not change
     during training while colors do."""
     base = dict(datadir=str(scene_dir), factor=1, no_ndc=True, no_tcnn=True,
-                netdepth=2, netwidth=32, multires=4, multires_views=2,
+                netdepth=2, netwidth=32, netdepth_fine=2, netwidth_fine=32,
+                multires=4, multires_views=2,
                 N_samples=8, N_importance=0, N_rand=64, lrate=1e-2,
                 i_print=1000, i_video=0, i_testset=0, i_feat=0, chunk=2048,
                 compute_dtype="float32")

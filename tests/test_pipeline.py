@@ -26,7 +26,8 @@ def test_full_pipeline_smoke(tmp_path):
     cfg = Config(
         expname="pipe", basedir=str(tmp_path / "logs"),
         datadir=str(scene_dir), factor=1, no_ndc=True, no_tcnn=True,
-        netdepth=2, netwidth=32, multires=4, multires_views=2,
+        netdepth=2, netwidth=32, netdepth_fine=2, netwidth_fine=32,
+        multires=4, multires_views=2,
         N_samples=8, N_importance=4, N_rand=64,
         lrate=5e-3, lrate_decay=250,
         i_print=10000, i_weights=0, i_video=0, i_testset=0, i_feat=1,

@@ -68,6 +68,25 @@ def test_metrics_by_mode(model, bank):
             assert k not in m, (kw, k)
 
 
+def test_depth_with_rgb_mode(model, bank):
+    """--depth_with_rgb supervises the photometric batch's own rendered depth
+    instead of rendering the depth rays (`run_nerf.py:1478-1479`): the loss
+    must still carry a finite depth term, and it must DIFFER from the
+    depth-ray-render variant under the same key."""
+    step_a, params, tx = make_step(model, bank, depth_with_rgb=True)
+    step_b, _, _ = make_step(model, bank, depth_with_rgb=False)
+    opt = tx.init(params)
+    _, _, ma = step_a(jax.tree.map(jnp.copy, params), opt,
+                      jax.random.PRNGKey(3), 0)
+    _, _, mb = step_b(jax.tree.map(jnp.copy, params), tx.init(params),
+                      jax.random.PRNGKey(3), 0)
+    assert "depth_loss" in ma and np.isfinite(float(ma["depth_loss"]))
+    assert float(ma["depth_loss"]) != float(mb["depth_loss"])
+    # photometric terms see the same pixel batches either way
+    np.testing.assert_allclose(float(ma["img_loss"]), float(mb["img_loss"]),
+                               rtol=1e-5)
+
+
 def test_sigma_loss_mode(model, bank):
     step, params, tx = make_step(model, bank, sigma_loss=True)
     opt_state = tx.init(params)
