@@ -313,10 +313,30 @@ def main(argv=None):
         ap.add_argument("--datadir", required=True)
         ap.add_argument("--predictdir", required=True)
         ap.add_argument("--outpath", required=True)
+        ap.add_argument("--fid", action="store_true",
+                        help="compute the Fréchet statistic (InceptionV3 "
+                             "pool3; real FID when pt_inception.pth is in "
+                             "$SPINNERF_WEIGHTS_DIR, else reported as "
+                             "fid_random_inception)")
+        ap.add_argument("--inception_weights", default=None,
+                        help="explicit pytorch-fid InceptionV3 state_dict")
+        ap.add_argument("--lpips", action="store_true",
+                        help="also score LPIPS (real when vgg16.pth + "
+                             "lpips_vgg_lin.pth are dropped in)")
         a = ap.parse_args(rest)
         from spinnerf_tpu.pipeline import lama_tools
+        fe = None
+        if a.fid or a.inception_weights:
+            from spinnerf_tpu.eval.inpainting import InceptionFeatureExtractor
+            fe = InceptionFeatureExtractor(a.inception_weights)
+        lpips_fn = None
+        if a.lpips:
+            from spinnerf_tpu import weights as wreg
+            from spinnerf_tpu.models.lpips import load_lpips
+            lpips_fn = load_lpips(wreg.find("vgg16"), wreg.find("lpips_lin"))
         results = lama_tools.evaluate_predicts(a.datadir, a.predictdir,
-                                               a.outpath)
+                                               a.outpath, lpips_fn=lpips_fn,
+                                               feature_extractor=fe)
         for group, tbl in results.items():
             print(group, {k: (round(v["mean"], 4)
                               if isinstance(v, dict) else round(v, 4))

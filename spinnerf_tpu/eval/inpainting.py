@@ -6,12 +6,16 @@ the `ssim_fid100_f1` integral metric used as the training checkpoint monitor
 (`evaluator.py:112`, trainer yaml:30): the harmonic mean of SSIM and a
 normalized (100-point) Fréchet feature distance.
 
-The Fréchet distance here runs over a pluggable feature extractor. The
-reference uses InceptionV3 pool3 features (FID); this container has no
-pretrained Inception weights, so the default extractor is the (optionally
-pretrained) VGG16 trunk from `models.lpips` with global-average-pooled
-features — the same statistic over a different embedding. Supply real
-weights for paper-exact FID.
+The Fréchet distance runs over a pluggable feature extractor:
+
+* `InceptionFeatureExtractor` — InceptionV3 pool3 (`models/inception.py`),
+  the reference's FID embedding. With real weights (drop
+  `pt_inception.pth` into `$SPINNERF_WEIGHTS_DIR`, see
+  `spinnerf_tpu/weights.py`) this is paper-exact FID; without, it runs an
+  architecture-faithful random network and the result key is
+  `fid_random_inception` so the number can never be mistaken for FID.
+* `FeatureExtractor` — VGG16 global-average-pooled features; a documented
+  alternative embedding (same Fréchet statistic, different network).
 """
 from __future__ import annotations
 
@@ -48,9 +52,15 @@ def frechet_distance(feats_a: np.ndarray, feats_b: np.ndarray) -> float:
 
 
 class FeatureExtractor:
-    """Global-average-pooled conv features for Fréchet statistics."""
+    """Global-average-pooled VGG16 features for Fréchet statistics (an
+    alternative embedding — results are keyed `fid_vgg`, never `fid`)."""
+
+    fid_key = "fid_vgg"
 
     def __init__(self, vgg_weights_path=None, seed: int = 0):
+        if vgg_weights_path is None:
+            from spinnerf_tpu import weights as wreg
+            vgg_weights_path = wreg.find("vgg16")
         from spinnerf_tpu.models.lpips import VGG16Features, \
             load_vgg_params_from_torch
         self.net = VGG16Features()
@@ -77,6 +87,39 @@ class FeatureExtractor:
         """images [N, H, W, 3] in [0,1] -> features [N, D]."""
         feats = self._apply(self.params, jnp.asarray(images))
         return np.concatenate([np.asarray(f) for f in feats], axis=-1)
+
+
+class InceptionFeatureExtractor:
+    """InceptionV3 pool3 features — the reference's FID embedding
+    (`evaluation/losses/fid/inception.py`). `fid_key` marks results from
+    random weights so they can't be read as comparable FID."""
+
+    def __init__(self, weights_path=None, seed: int = 0, batch: int = 16):
+        from spinnerf_tpu.models import inception as inc
+        if weights_path is None:
+            from spinnerf_tpu import weights as wreg
+            weights_path = wreg.find("inception_fid")
+        if weights_path:
+            self.params = inc.load_inception_params_from_torch(weights_path)
+            self.fid_key = "fid"
+        else:
+            self.params = inc.random_inception_params(seed)
+            self.fid_key = "fid_random_inception"
+        self.batch = batch
+        self._apply = jax.jit(lambda p, x: inc.inception_pool3(p, x))
+
+    def __call__(self, images: np.ndarray) -> np.ndarray:
+        """images [N, H, W, 3] in [0,1] -> pool3 features [N, 2048]."""
+        out = []
+        for i in range(0, len(images), self.batch):
+            x = np.asarray(images[i:i + self.batch], np.float32)
+            n = len(x)
+            if n < self.batch:    # pad the tail batch: one jit shape total
+                x = np.concatenate(
+                    [x, np.zeros((self.batch - n, *x.shape[1:]), x.dtype)])
+            out.append(np.asarray(self._apply(self.params,
+                                              jnp.asarray(x)))[:n])
+        return np.concatenate(out, axis=0)
 
 
 class InpaintingEvaluator:
@@ -126,7 +169,9 @@ class InpaintingEvaluator:
             ssim_mean = out["total"]["ssim"]["mean"]
             fid_score = max(0.0, 1.0 - fid / self.integral_fid_norm)
             denom = ssim_mean + fid_score
-            out["total"]["fid"] = fid
+            # extractors label their statistic: "fid" only for real-weight
+            # InceptionV3 pool3; random/VGG embeddings get distinct keys
+            out["total"][getattr(self.features, "fid_key", "fid_vgg")] = fid
             out["total"]["ssim_fid100_f1"] = (
                 2 * ssim_mean * fid_score / denom if denom > 0 else 0.0)
         return out

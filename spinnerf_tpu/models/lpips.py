@@ -146,7 +146,17 @@ def load_lin_weights_from_torch(path):
 
 def load_lpips(vgg_weights_path=None, lin_weights_path=None, *,
                seed: int = 0, compute_dtype=jnp.float32) -> Callable:
-    """Build an `lpips(x, y) -> distance` callable (jittable)."""
+    """Build an `lpips(x, y) -> distance` callable (jittable).
+
+    With no explicit paths, real weights dropped into
+    `$SPINNERF_WEIGHTS_DIR` (see `spinnerf_tpu/weights.py`) are picked up
+    automatically; otherwise seeded random init (NOT numerically LPIPS).
+    """
+    from spinnerf_tpu import weights as wreg
+    if vgg_weights_path is None:
+        vgg_weights_path = wreg.find("vgg16")
+    if lin_weights_path is None:
+        lin_weights_path = wreg.find("lpips_lin")
     vgg = VGG16Features(compute_dtype=compute_dtype)
     if vgg_weights_path is not None:
         vgg_params = load_vgg_params_from_torch(vgg_weights_path, vgg)

@@ -217,6 +217,9 @@ def make_resnet_pl(*, depth: int = 50, weights_path=None, seed: int = 0,
     differentiates through them).
     """
     enc = ResNetDilated(depth=depth)
+    if weights_path is None and depth == 50:
+        from spinnerf_tpu import weights as wreg
+        weights_path = wreg.find("ade20k_resnet50")
     if weights_path:
         params = convert_mit_encoder(weights_path, depth=depth)
     else:

@@ -238,6 +238,9 @@ def load_generator(checkpoint_path=None, **kwargs):
     """Build the big-lama generator; load converted torch weights when a
     checkpoint is given, else seeded random init (architecture-functional)."""
     gen = lama.FFCResNetGenerator(**kwargs)
+    if checkpoint_path is None:
+        from spinnerf_tpu import weights as wreg
+        checkpoint_path = wreg.find("big_lama")
     if checkpoint_path is not None:
         import torch
         ckpt = torch.load(checkpoint_path, map_location="cpu")

@@ -121,19 +121,29 @@ def stage_fit(cfg: Config, *, n_iters=None, log=print):
 
 
 def stage_eval(cfg: Config, trainer, *, log=print):
-    """Stage 7: masked/unmasked PSNR + SSIM of test-view renders vs GT."""
+    """Stage 7: PSNR + SSIM + LPIPS of test-view renders vs GT (the paper's
+    protocol, `DS_NeRF/eval_metrics_script.py:26-33`: full-image metrics,
+    plus masked PSNR where a hole mask exists). LPIPS is numerically real
+    only when VGG16/lin weights are dropped in (`spinnerf_tpu/weights.py`);
+    otherwise the key is `lpips_random_vgg`."""
     import jax.numpy as jnp
+    from spinnerf_tpu import weights as wreg
     from spinnerf_tpu.eval import metrics
+    from spinnerf_tpu.models.lpips import load_lpips
     if len(trainer.i_test) == 0:
         log("[eval] no test views")
         return {}
+    vgg_path = wreg.find("vgg16")
+    lpips_fn = load_lpips(vgg_path, wreg.find("lpips_lin"))
+    lpips_key = "lpips" if vgg_path else "lpips_random_vgg"
     rgbs, _ = trainer.render_poses_list(trainer.scene.poses[trainer.i_test])
     rows = []
     for r, t in zip(rgbs, trainer.i_test):
         gt = jnp.asarray(trainer.scene.images[t])
         pred = jnp.asarray(r)
         row = {"psnr": float(metrics.psnr(pred, gt)),
-               "ssim": float(metrics.ssim(pred, gt))}
+               "ssim": float(metrics.ssim(pred, gt)),
+               lpips_key: float(lpips_fn(pred, gt))}
         if trainer.scene.masks is not None:
             m = jnp.asarray((np.abs(trainer.scene.masks[t]) > 0.5)
                             .astype(np.float32))

@@ -26,11 +26,30 @@ def test_evaluator_bins_and_integral(rng):
     out = ev.evaluation_end()
     assert "total" in out and out["total"]["n"] == 6
     assert 0 <= out["total"]["ssim"]["mean"] <= 1
-    assert "fid" in out["total"]
+    assert "fid_vgg" in out["total"]   # VGG embedding never reports "fid"
     assert 0 <= out["total"]["ssim_fid100_f1"] <= 1
     bins = [k for k in out if k.startswith("mask_")]
     assert len(bins) >= 2
     assert sum(out[k]["n"] for k in bins) == 6
+
+
+def test_evaluator_inception_fid_key(rng):
+    """Random-weights InceptionV3 reports `fid_random_inception`, never
+    `fid` — only real dropped-in weights may claim FID."""
+    from spinnerf_tpu.eval.inpainting import InceptionFeatureExtractor
+    fe = InceptionFeatureExtractor(batch=4)
+    assert fe.fid_key == "fid_random_inception"
+    ev = InpaintingEvaluator(feature_extractor=fe)
+    for i in range(3):
+        img = rng.rand(40, 40, 3).astype(np.float32)
+        pred = np.clip(img + rng.randn(40, 40, 3) * 0.1, 0, 1)
+        mask = np.zeros((40, 40), np.float32)
+        mask[:10 * (i + 1)] = 1
+        ev.add(pred.astype(np.float32), img, mask)
+    out = ev.evaluation_end()
+    assert "fid_random_inception" in out["total"]
+    assert "fid" not in out["total"]
+    assert 0 <= out["total"]["ssim_fid100_f1"] <= 1
 
 
 def test_click_segmenter_finds_blob(rng):
