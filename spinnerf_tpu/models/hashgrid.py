@@ -56,11 +56,19 @@ class HashGridEncoding(nn.Module):
     """Multiresolution hash encoding of positions in [0, 1]^3 -> [L*F].
 
     `impl` selects the gather strategy:
-      - "mxu": Pallas one-hot-matmul kernels (`ops/hash_encode.py`) — the
-        fast path on TPU (XLA's serialized gather/scatter loops are ~15-40x
-        slower at the training workload size).
-      - "xla": plain gather / scatter-add (CPU reference path).
-      - "auto": "mxu" on TPU, "xla" elsewhere (`recommended_impl`).
+      - "mxu": dense one-hot-matmul Pallas kernels (`ops/hash_encode.py`) —
+        fast on TPU at small tables, but O(T) MXU work per point.
+      - "win": Z-curve-sorted windowed Pallas kernels
+        (`ops/hash_encode_win.py`) — O(window) per point, the fast path at
+        the reference-default 2^19 table. Uses a locality-preserving Morton
+        hash instead of the XOR-prime hash (a documented collision-pattern
+        change; instant-ngp trains through collisions by construction).
+      - "win_xla": the windowed path's bit-identical XLA oracle (CPU
+        reference for "win").
+      - "xla": plain gather / scatter-add with the reference's XOR-prime
+        hash (CPU reference path for "mxu").
+      - "auto": on TPU, "win" for log2_table_size >= 16 else "mxu"; "xla"
+        elsewhere (`recommended_impl`).
     """
     n_levels: int = 16
     features: int = 2
@@ -116,7 +124,10 @@ class HashGridEncoding(nn.Module):
         from spinnerf_tpu.ops import hash_encode as he
         if self.features != 2 or ((1 << self.log2_table_size) * 2) % 128:
             return "xla"
-        return he.recommended_impl(self.log2_table_size)
+        impl = he.recommended_impl(self.log2_table_size)
+        if impl == "win" and (1 << self.log2_table_size) < 4096:
+            return "mxu"   # table smaller than one 2-page window
+        return impl
 
     @nn.compact
     def __call__(self, x):
@@ -130,9 +141,19 @@ class HashGridEncoding(nn.Module):
 
         shape = x.shape[:-1]
         x = jnp.clip(x.reshape(-1, 3), 0.0, 1.0)             # [N, 3]
-        idx, w = self.corner_indices_weights(x)
+        impl = self._resolve_impl()
 
-        if self._resolve_impl() == "mxu":
+        if impl in ("win", "win_xla"):
+            from spinnerf_tpu.ops import hash_encode_win as hw
+            resolutions = level_resolutions(self.n_levels, self.base_res,
+                                            self.finest_res)
+            out = hw.encode_win(table, x, resolutions,
+                                use_kernel=(impl == "win"))    # [N, L, F]
+            return out.astype(self.compute_dtype).reshape(
+                *shape, self.n_levels * self.features)
+
+        idx, w = self.corner_indices_weights(x)
+        if impl == "mxu":
             from spinnerf_tpu.ops import hash_encode as he
             out = he.hash_encode_mxu(table, idx, w)            # [N, L, F]
             out = out.astype(self.compute_dtype)

@@ -56,11 +56,16 @@ def packed_rows(log2_table_size: int, features: int = 2) -> int:
 
 
 def recommended_impl(log2_table_size: int, on_tpu: bool | None = None) -> str:
-    """The MXU path beats XLA's serialized gather/scatter at every table
-    size that fits HBM (cost linear in R vs XLA's flat ~8.7 s)."""
+    """On TPU: the dense one-hot path beats XLA's serialized gather/scatter
+    at every table size (cost linear in R vs XLA's flat ~8.7 s), but its
+    O(T)-per-point MXU work loses to the windowed Z-curve kernels
+    (`ops/hash_encode_win.py`, O(window) per point) once the table is large;
+    crossover measured at log2_table_size ~15-16 on v5e."""
     if on_tpu is None:
         on_tpu = jax.devices()[0].platform == "tpu"
-    return "mxu" if on_tpu else "xla"
+    if not on_tpu:
+        return "xla"
+    return "win" if log2_table_size >= 16 else "mxu"
 
 
 # -----------------------------------------------------------------------------

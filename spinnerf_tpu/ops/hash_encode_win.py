@@ -1,0 +1,434 @@
+"""Sorted-window hash-grid encode: O(window) MXU gathers (Pallas).
+
+The dense one-hot formulation in `ops/hash_encode.py` does O(T) MXU work per
+point (every block multiplies against the whole table) — 3.5 s/step at the
+reference-default `log2_hashmap_size=19` (`DS_NeRF/run_nerf_helpers_tcnn.py:24`).
+This module restores O(1)-per-access cost the TPU way:
+
+1. **Sort points along a Z-order curve** (54-bit Morton key as two int32
+   lanes, `lax.sort` with num_keys=2 — measured 2.3 ms for 786k points on
+   v5e). Consecutive points become spatial neighbours.
+2. **Locality-preserving hash**: level index = low 27 Morton bits of the
+   level's cell coords, masked to the table size, instead of instant-ngp's
+   XOR-prime hash. Spatially adjacent cells now map to nearby table entries,
+   so a block of sorted points touches a compact index *window*. (A hash
+   grid trains through collisions by construction — instant-ngp §4 — so the
+   collision PATTERN is a free design axis; this choice trades the CUDA
+   hash for one the MXU can exploit. Collision rate is the same O(cells/T).)
+3. **Windowed one-hot matmuls**: each 512-point block multiplies against a
+   2-page window (2x2048 entries = 64 packed rows) of the level table that
+   Pallas DMAs in via a scalar-prefetched page id — 128x less MXU work than
+   the dense kernel at 2^19. The rare corner whose offset exceeds the
+   window (Z-curve discontinuities; measured <1% at training point
+   distributions, see `tests/test_hash_encode_win.py`) is aliased to
+   `offset mod 4096` inside the window — one extra deterministic collision,
+   identical in forward and backward.
+4. **Backward**: per-block window gradients are accumulated straight into
+   an HBM gradient table with in-kernel async DMA (sequential TPU grid =>
+   no races); blocks' windows may overlap arbitrarily.
+
+The XLA oracle (`hash_encode_win_xla`) reproduces the window-clamp
+semantics bit-exactly and is the CPU fallback and test reference.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# points per kernel block (lanes of every point-indexed tile)
+_B = 512
+# entries per table page; a window is two consecutive pages
+PAGE_ENTRIES = 2048
+WINDOW_ENTRIES = 2 * PAGE_ENTRIES
+# packed-row geometry (features=2, 64 entries/row)
+_PAGE_ROWS = PAGE_ENTRIES * 2 // 128          # 32
+_WIN_ROWS = 2 * _PAGE_ROWS                    # 64
+
+
+# -----------------------------------------------------------------------------
+# Morton codes (bit interleave) — all uint32 lane math
+# -----------------------------------------------------------------------------
+
+def _spread9(v):
+    """Spread the low 9 bits of v so they occupy every 3rd bit (27 bits)."""
+    v = v & jnp.uint32(0x1FF)
+    v = (v | (v << 16)) & jnp.uint32(0x030000FF)
+    v = (v | (v << 8)) & jnp.uint32(0x0300F00F)
+    v = (v | (v << 4)) & jnp.uint32(0x030C30C3)
+    v = (v | (v << 2)) & jnp.uint32(0x09249249)
+    return v
+
+
+def morton27(cx, cy, cz):
+    """27-bit Morton interleave of the low 9 bits of each axis (uint32)."""
+    return _spread9(cx) | (_spread9(cy) << 1) | (_spread9(cz) << 2)
+
+
+def morton_sort_keys(x, finest_res: float):
+    """x: [N, 3] in [0,1] -> (hi, lo) int32 Morton keys at <=18 bits/axis.
+
+    Sorting by (hi, lo) orders points along the Z-curve of the finest grid,
+    which is what gives blocks their window locality at every level.
+    """
+    res = min(float(finest_res), float(1 << 18))
+    c = jnp.clip((x * res).astype(jnp.uint32), 0, jnp.uint32(int(res) - 1))
+    cx, cy, cz = c[:, 0], c[:, 1], c[:, 2]
+    hi = morton27(cx >> 9, cy >> 9, cz >> 9)
+    lo = morton27(cx, cy, cz)
+    return hi.astype(jnp.int32), lo.astype(jnp.int32)
+
+
+# -----------------------------------------------------------------------------
+# permutation (sort / unsort) with gather-only VJPs
+# -----------------------------------------------------------------------------
+
+@jax.custom_vjp
+def permute_rows(x, perm, inv_perm):
+    """x[perm] where perm is a permutation; VJP is a gather with inv_perm
+    (XLA's default VJP of gather is a serialized scatter-add — ~8x slower
+    on v5e; a permutation's transpose is itself a gather)."""
+    return jnp.take(x, perm, axis=0)
+
+
+def _permute_fwd(x, perm, inv_perm):
+    return jnp.take(x, perm, axis=0), (perm, inv_perm)
+
+
+def _permute_bwd(res, g):
+    perm, inv_perm = res
+    return jnp.take(g, inv_perm, axis=0), None, None
+
+
+permute_rows.defvjp(_permute_fwd, _permute_bwd)
+
+
+# -----------------------------------------------------------------------------
+# shared window geometry (kernel prep AND oracle — must match bit-exactly)
+# -----------------------------------------------------------------------------
+
+def window_offsets(idx, t: int):
+    """idx: [L, 8, N] int32 entry indices (points sorted along the Z-curve,
+    N a multiple of _B). Returns:
+
+      pages [L, NB] int32 — first page of each block's 2-page window,
+        clamped so the window stays inside the table;
+      off [L, 8, N] int32 — in-window entry offsets in [0, WINDOW_ENTRIES),
+        out-of-window corners aliased by `mod WINDOW_ENTRIES`.
+    """
+    l, _, n = idx.shape
+    nb = n // _B
+    n_pages = t // PAGE_ENTRIES
+    blocks = idx.reshape(l, 8, nb, _B)
+    pages = jnp.min(blocks, axis=(1, 3)) // PAGE_ENTRIES      # [L, NB]
+    pages = jnp.minimum(pages, max(n_pages - 2, 0))
+    off = blocks - (pages * PAGE_ENTRIES)[:, None, :, None]
+    off = jnp.where(off < WINDOW_ENTRIES, off, off % WINDOW_ENTRIES)
+    # idx >= page start by construction except for the n_pages-2 clamp,
+    # where small indices can go negative — wrap them into the window too
+    off = off % WINDOW_ENTRIES
+    return pages.astype(jnp.int32), off.reshape(l, 8, n).astype(jnp.int32)
+
+
+def overflow_fraction(idx, t: int):
+    """Fraction of corner accesses aliased by the window clamp (diagnostic)."""
+    l, _, n = idx.shape
+    nb = n // _B
+    blocks = idx.reshape(l, 8, nb, _B)
+    pages = jnp.min(blocks, axis=(1, 3)) // PAGE_ENTRIES
+    pages = jnp.minimum(pages, max(t // PAGE_ENTRIES - 2, 0))
+    off = blocks - (pages * PAGE_ENTRIES)[:, None, :, None]
+    return jnp.mean(((off < 0) | (off >= WINDOW_ENTRIES)).astype(jnp.float32))
+
+
+# -----------------------------------------------------------------------------
+# kernels — grid (L, NB); point tiles [*, B]; window = 2 pages of the table
+# -----------------------------------------------------------------------------
+
+def _win_fwd_kernel(pages_ref, rows_ref, lanes_ref, w_ref, tab0_ref, tab1_ref,
+                    out_ref):
+    """out[l, :, bB:+B] = trilinear blend of window-gathered features.
+
+    rows/lanes are RELATIVE to the window (precomputed by `window_offsets`);
+    tab0/tab1 are the two [1, _PAGE_ROWS, 128] pages, scalar-prefetch-indexed.
+    """
+    tabt = jnp.concatenate([tab0_ref[0], tab1_ref[0]],
+                           axis=0).T.astype(jnp.bfloat16)     # [128, 64]
+    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (128, _B), 0)
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (_WIN_ROWS, _B), 0)
+    out0 = jnp.zeros((1, _B), jnp.float32)
+    out1 = jnp.zeros((1, _B), jnp.float32)
+    for c in range(8):
+        rows_c = rows_ref[0, c:c + 1, :]                      # [1, B]
+        oht = (rows_c == iota_r).astype(jnp.bfloat16)         # [64, B]
+        gathered = jax.lax.dot_general(
+            tabt, oht, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)               # [128, B]
+        lane_c = lanes_ref[0, c:c + 1, :]
+        w_c = w_ref[0, c:c + 1, :]
+        f0 = jnp.sum(jnp.where(sub_iota == lane_c, gathered, 0.0),
+                     axis=0, keepdims=True)
+        f1 = jnp.sum(jnp.where(sub_iota == lane_c + 1, gathered, 0.0),
+                     axis=0, keepdims=True)
+        out0 = out0 + w_c * f0
+        out1 = out1 + w_c * f1
+    out_ref[0] = jnp.concatenate([out0, out1], axis=0)        # [2, B]
+
+
+def _win_bwd_kernel(pages_ref, rows_ref, lanes_ref, w_ref, g_ref, dtab_ref):
+    """Accumulate each block's window gradient into the level's grad table.
+
+    The whole per-level packed grad table ([R, 128] — 4 MB at 2^19) stays
+    VMEM-resident as a revisited output block across the point-block grid
+    dimension; the 64-row window update lands via a dynamic-slice
+    accumulate. Zeroed on the level's first block.
+    """
+    l = pl.program_id(0)
+    b = pl.program_id(1)
+
+    @pl.when(b == 0)
+    def _():
+        dtab_ref[0] = jnp.zeros_like(dtab_ref[0])
+
+    row0 = pages_ref[l, b] * _PAGE_ROWS
+    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (128, _B), 0)
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (_WIN_ROWS, _B), 0)
+    g0 = g_ref[0, 0:1, :]
+    g1 = g_ref[0, 1:2, :]
+    upd = jnp.zeros((_WIN_ROWS, 128), jnp.float32)
+    for c in range(8):
+        rows_c = rows_ref[0, c:c + 1, :]
+        lane_c = lanes_ref[0, c:c + 1, :]
+        w_c = w_ref[0, c:c + 1, :]
+        vt = (jnp.where(sub_iota == lane_c, g0 * w_c, 0.0)
+              + jnp.where(sub_iota == lane_c + 1, g1 * w_c, 0.0)
+              ).astype(jnp.bfloat16)                          # [128, B]
+        oht = (rows_c == iota_r).astype(jnp.bfloat16)         # [64, B]
+        upd = upd + jax.lax.dot_general(
+            oht, vt, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)               # [64, 128]
+
+    dtab_ref[0, pl.ds(row0, _WIN_ROWS), :] += upd
+
+
+# -----------------------------------------------------------------------------
+# host-side wrappers
+# -----------------------------------------------------------------------------
+
+def _prep(off, weights, features, n_pad):
+    """Relative entry offsets -> (rows, lanes, w) kernel inputs, padded to
+    a _B multiple along points. Window starts are page-aligned, so lane =
+    (off * F) & 127 equals the absolute lane."""
+    rows = ((off * features) >> 7).astype(jnp.int32)
+    lanes = ((off * features) & 127).astype(jnp.int32)
+    w = weights.astype(jnp.float32)
+    if n_pad != rows.shape[2]:
+        pad = [(0, 0), (0, 0), (0, n_pad - rows.shape[2])]
+        rows, lanes, w = (jnp.pad(x, pad) for x in (rows, lanes, w))
+    return rows, lanes, w
+
+
+def _pack(table):
+    l, t, f = table.shape
+    return table.reshape(l, t * f // 128, 128)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def hash_encode_win(table, idx, weights, pages, interpret=False):
+    """Sorted-window hash-grid encode on the MXU.
+
+    Args:
+      table: [L, T, F=2] float32; T a multiple of PAGE_ENTRIES.
+      idx: [L, 8, N] int32 corner entry indices, points SORTED along the
+        Z-curve (see `morton_sort_keys`); N a multiple of _B.
+      weights: [L, 8, N] trilinear corner weights.
+      pages: [L, N/_B] int32 window pages from `window_offsets(idx, T)`.
+      interpret: run kernels in interpret mode (CPU tests).
+
+    Returns [N, L, F] float32 features (window-clamp aliasing applied).
+    """
+    out, _ = _win_fwd_impl(table, idx, weights, pages, interpret)
+    return out
+
+
+def _point_specs():
+    return [pl.BlockSpec((1, 8, _B), lambda i, j, pages: (i, 0, j),
+                         memory_space=pltpu.VMEM)] * 3
+
+
+def _win_fwd_impl(table, idx, weights, pages, interpret):
+    l, t, f = table.shape
+    if f != 2:
+        raise ValueError("windowed hash encode supports features=2")
+    if t % PAGE_ENTRIES:
+        raise ValueError(f"table entries must divide {PAGE_ENTRIES}")
+    if t // PAGE_ENTRIES < 2:
+        raise ValueError("table too small for the windowed path; use the "
+                         "dense kernel (ops/hash_encode.py)")
+    n = idx.shape[2]
+    if n % _B:
+        raise ValueError(f"point count must be a multiple of {_B}")
+    r = t * f // 128
+
+    _, off = window_offsets(idx, t)
+    rows, lanes, w = _prep(off, weights, f, n)
+    tabt = _pack(table)                                        # [L, R, 128]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(l, n // _B),
+        in_specs=_point_specs() + [
+            pl.BlockSpec((1, _PAGE_ROWS, 128),
+                         lambda i, j, pages: (i, pages[i, j], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _PAGE_ROWS, 128),
+                         lambda i, j, pages: (i, pages[i, j] + 1, 0),
+                         memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 2, _B), lambda i, j, pages: (i, 0, j),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        _win_fwd_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((l, 2, n), jnp.float32),
+        interpret=interpret,
+    )(pages, rows, lanes, w, tabt, tabt)
+    return out.transpose(2, 0, 1), ((l, t, f), rows, lanes, w, pages)
+
+
+def _win_fwd_rule(table, idx, weights, pages, interpret):
+    return _win_fwd_impl(table, idx, weights, pages, interpret)
+
+
+def _win_bwd_rule(interpret, res, g):
+    (l, t, f), rows, lanes, w, pages = res
+    r = t * f // 128
+    n = rows.shape[2]
+    g_l = g.transpose(1, 2, 0).astype(jnp.float32)            # [L, 2, N]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(l, n // _B),
+        in_specs=_point_specs() + [
+            pl.BlockSpec((1, 2, _B), lambda i, j, pages: (i, 0, j),
+                         memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, r, 128), lambda i, j, pages: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    dpacked = pl.pallas_call(
+        _win_bwd_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((l, r, 128), jnp.float32),
+        interpret=interpret,
+    )(pages, rows, lanes, w, g_l)
+    return dpacked.reshape(l, t, f), None, None, None
+
+
+hash_encode_win.defvjp(_win_fwd_rule, _win_bwd_rule)
+
+
+def corner_indices_weights_win(x, resolutions, t: int):
+    """Locality-preserving corner indices for the windowed kernel.
+
+    x: [N, 3] in [0,1] (points SORTED along the Z-curve). Returns
+    (idx [L, 8, N] int32, w [L, 8, N] f32) with trilinear weights identical
+    to `HashGridEncoding.corner_indices_weights` but the hash replaced by
+
+        idx = (morton27(c) + morton27(c >> 9) * 2654435761) mod t
+
+    Low 9 bits/axis interleave to a 27-bit Z-index (window-local for
+    spatially adjacent cells); the >=512 coordinate part is a per-region
+    constant within a sorted block, so it shifts the whole window instead of
+    breaking it, while spreading distinct 512-regions across the table.
+    For coarse levels (res <= cbrt(t), coords < 512) the high part is zero
+    and the mapping is injective — collision-free exactly where the
+    reference's dense indexing is (`run_nerf_helpers_tcnn.py:24`,
+    instant-ngp §4: the collision PATTERN is a free design axis).
+    """
+    if t & (t - 1):
+        raise ValueError("table size must be a power of two")
+    mask = jnp.uint32(t - 1)
+    k_hi = jnp.uint32(2654435761)
+    scales = jnp.asarray(resolutions, x.dtype)
+    xs = scales[:, None, None] * x.T[None]                 # [L, 3, N]
+    x0f = jnp.floor(xs)
+    frac = xs - x0f
+    x0 = x0f.astype(jnp.uint32)
+    idx_c, w_c = [], []
+    for ci in range(8):
+        i, j, k = (ci >> 2) & 1, (ci >> 1) & 1, ci & 1
+        cx = x0[:, 0, :] + np.uint32(i)
+        cy = x0[:, 1, :] + np.uint32(j)
+        cz = x0[:, 2, :] + np.uint32(k)
+        m = morton27(cx, cy, cz)
+        hi = morton27(cx >> 9, cy >> 9, cz >> 9)
+        idx_c.append(((m + hi * k_hi) & mask).astype(jnp.int32))
+        wx = frac[:, 0, :] if i else 1.0 - frac[:, 0, :]
+        wy = frac[:, 1, :] if j else 1.0 - frac[:, 1, :]
+        wz = frac[:, 2, :] if k else 1.0 - frac[:, 2, :]
+        w_c.append(wx * wy * wz)
+    return (jnp.stack(idx_c, axis=1),
+            jnp.stack(w_c, axis=1).astype(jnp.float32))
+
+
+def sort_perm(x, finest_res: float, n_pad: int):
+    """Z-curve sort permutation, padded to n_pad points.
+
+    Returns (perm, inv_perm) int32 [n_pad]; pad slots (id >= N) carry
+    clamped copies of the last point so they sort adjacently and never
+    widen a real block's window. Both directions come from `lax.sort`
+    (payload columns ride the sort; no serialized scatter)."""
+    n = x.shape[0]
+    hi, lo = morton_sort_keys(x, finest_res)
+    if n_pad != n:
+        hi = jnp.concatenate([hi, jnp.full((n_pad - n,), hi[-1])])
+        lo = jnp.concatenate([lo, jnp.full((n_pad - n,), lo[-1])])
+    iota = jnp.arange(n_pad, dtype=jnp.int32)
+    _, _, perm = jax.lax.sort((hi, lo, iota), num_keys=2)
+    _, inv_perm = jax.lax.sort((perm, iota), num_keys=1)
+    return perm, inv_perm
+
+
+def encode_win(table, x, resolutions, *, interpret=False, use_kernel=True):
+    """Full windowed hash-grid encode of UNSORTED points.
+
+    x: [N, 3] in [0,1]; table [L, T, 2]. Returns [N, L, 2] float32.
+    Sorts points along the Z-curve, encodes with the windowed kernel (or the
+    bit-identical XLA oracle when `use_kernel=False` — the CPU path), and
+    restores the caller's point order. Fully differentiable wrt `table`.
+    """
+    l, t, f = table.shape
+    n = x.shape[0]
+    n_pad = -(-n // _B) * _B
+    perm, inv_perm = sort_perm(x, float(max(resolutions)), n_pad)
+    if n_pad != n:
+        x = jnp.concatenate([x, jnp.broadcast_to(x[-1:],
+                                                 (n_pad - n, 3))], axis=0)
+    x_s = permute_rows(x, perm, inv_perm)
+    idx, w = corner_indices_weights_win(x_s, resolutions, t)
+    pages, _ = window_offsets(idx, t)
+    if use_kernel:
+        out = hash_encode_win(table, idx, w, pages, interpret)
+    else:
+        out = hash_encode_win_xla(table, idx, w, pages)
+    out = out.reshape(n_pad, l * f)
+    return permute_rows(out, inv_perm, perm)[:n].reshape(n, l, f)
+
+
+def hash_encode_win_xla(table, idx, weights, pages):
+    """XLA oracle with bit-identical window-clamp semantics (CPU fallback
+    and numerical reference for the Pallas kernels)."""
+    l, t, f = table.shape
+    n = idx.shape[2]
+    _, off = window_offsets(idx, t)
+    eff = (pages * PAGE_ENTRIES)[:, None, :].repeat(8, 1)
+    eff = jnp.repeat(eff, _B, axis=2) + off                    # [L, 8, N]
+    flat = (eff.reshape(l, 8 * n)
+            + (jnp.arange(l, dtype=jnp.int32) * t)[:, None]).reshape(-1)
+    feats = table.reshape(l * t, f)[flat].reshape(l, 8, n, f)
+    return jnp.sum(feats * weights[..., None].astype(feats.dtype),
+                   axis=1).transpose(1, 0, 2)                  # [N, L, F]

@@ -67,8 +67,9 @@ def test_multi_block_grid():
 
 
 def test_recommended_impl():
-    assert he.recommended_impl(16, on_tpu=True) == "mxu"
-    assert he.recommended_impl(19, on_tpu=True) == "mxu"
+    assert he.recommended_impl(15, on_tpu=True) == "mxu"
+    assert he.recommended_impl(16, on_tpu=True) == "win"
+    assert he.recommended_impl(19, on_tpu=True) == "win"
     assert he.recommended_impl(14, on_tpu=False) == "xla"
 
 

@@ -1,0 +1,192 @@
+"""Windowed (Z-curve sorted) hash-grid encode: kernel-vs-oracle parity,
+Morton/window geometry, end-to-end `encode_win`, and the `impl="win"` model
+path. Pallas kernels run in interpret mode on the CPU test mesh."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from spinnerf_tpu.ops import hash_encode_win as hw
+
+
+def _clustered_indices(rng, l, t, n):
+    """Sorted-ish per-block indices with a few outliers (overflow path)."""
+    base = np.sort(rng.randint(0, t - 1, (l, n // hw._B)))
+    idx = np.zeros((l, 8, n), np.int32)
+    for li in range(l):
+        for b in range(n // hw._B):
+            idx[li, :, b * hw._B:(b + 1) * hw._B] = (
+                base[li, b] + rng.randint(0, 1500, (8, hw._B)))
+    idx[0, 0, :40] = rng.randint(0, t, 40)      # outliers -> window aliasing
+    return np.clip(idx, 0, t - 1)
+
+
+def test_spread9_and_morton_injective():
+    """morton27 bit-interleave matches a python reference and is injective
+    for coordinates < 512."""
+    rng = np.random.RandomState(0)
+    c = rng.randint(0, 512, (3, 4096)).astype(np.uint32)
+    m = np.asarray(hw.morton27(*(jnp.asarray(ci) for ci in c)))
+
+    def py_morton(x, y, z):
+        out = 0
+        for b in range(9):
+            out |= (((x >> b) & 1) << (3 * b)
+                    | ((y >> b) & 1) << (3 * b + 1)
+                    | ((z >> b) & 1) << (3 * b + 2))
+        return out
+
+    want = np.array([py_morton(*c[:, i]) for i in range(256)])
+    np.testing.assert_array_equal(m[:256], want)
+    assert len(np.unique(m)) == len(np.unique(c.T.copy().view(
+        [('', c.dtype)] * 3)))  # collision-free
+
+
+def test_window_offsets_reconstruct_indices():
+    """pages*PAGE_ENTRIES + off == idx wherever no aliasing occurred, and
+    off always lands inside the window."""
+    rng = np.random.RandomState(1)
+    l, t, n = 3, 8192, 1024
+    idx = _clustered_indices(rng, l, t, n)
+    pages, off = hw.window_offsets(jnp.asarray(idx), t)
+    pages, off = np.asarray(pages), np.asarray(off)
+    assert pages.min() >= 0 and pages.max() <= t // hw.PAGE_ENTRIES - 2
+    assert off.min() >= 0 and off.max() < hw.WINDOW_ENTRIES
+    eff = (np.repeat(pages * hw.PAGE_ENTRIES, hw._B, axis=1)[:, None, :]
+           + off)
+    no_alias = (idx - np.repeat(pages * hw.PAGE_ENTRIES, hw._B,
+                                axis=1)[:, None, :]) < hw.WINDOW_ENTRIES
+    no_alias &= idx >= np.repeat(pages * hw.PAGE_ENTRIES, hw._B,
+                                 axis=1)[:, None, :]
+    np.testing.assert_array_equal(eff[no_alias], idx[no_alias])
+    ovf = float(hw.overflow_fraction(jnp.asarray(idx), t))
+    assert 0 < ovf < 0.02   # only the sprinkled outliers alias
+
+
+def test_kernel_matches_oracle_fwd_bwd():
+    """Interpret-mode Pallas kernels vs the XLA oracle: forward within bf16
+    tolerance, table gradient matching."""
+    rng = np.random.RandomState(2)
+    l, t, n = 3, 8192, 1024
+    table = jnp.asarray(rng.randn(l, t, 2).astype(np.float32))
+    idx = jnp.asarray(_clustered_indices(rng, l, t, n))
+    w = jnp.asarray(rng.rand(l, 8, n).astype(np.float32))
+    pages, _ = hw.window_offsets(idx, t)
+
+    out_k = hw.hash_encode_win(table, idx, w, pages, True)
+    out_o = hw.hash_encode_win_xla(table, idx, w, pages)
+    assert out_k.shape == (n, l, 2)
+    scale = float(jnp.abs(out_o).max())
+    assert float(jnp.abs(out_k - out_o).max()) < 0.02 * scale  # bf16 matmul
+
+    g = jnp.asarray(rng.randn(n, l, 2).astype(np.float32))
+    gk = jax.grad(lambda tb: (hw.hash_encode_win(tb, idx, w, pages, True)
+                              * g).sum())(table)
+    go = jax.grad(lambda tb: (hw.hash_encode_win_xla(tb, idx, w, pages)
+                              * g).sum())(table)
+    gscale = float(jnp.abs(go).max())
+    assert float(jnp.abs(gk - go).max()) < 0.02 * gscale
+
+
+def test_permute_rows_vjp_is_inverse_gather():
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(64, 5).astype(np.float32))
+    perm = jnp.asarray(rng.permutation(64).astype(np.int32))
+    inv = jnp.argsort(perm).astype(jnp.int32)
+    y = hw.permute_rows(x, perm, inv)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(x)[np.asarray(perm)])
+    g = jnp.asarray(rng.randn(64, 5).astype(np.float32))
+    gx = jax.grad(lambda a: (hw.permute_rows(a, perm, inv) * g).sum())(x)
+    # d/dx of x[perm] is g scattered back: g[inv]
+    np.testing.assert_array_equal(np.asarray(gx), np.asarray(g)[np.asarray(inv)])
+
+
+def test_sort_perm_roundtrip_and_padding():
+    rng = np.random.RandomState(4)
+    n, n_pad = 700, 1024
+    x = rng.rand(n, 3).astype(np.float32)
+    perm, inv = hw.sort_perm(jnp.asarray(x), 128.0, n_pad)
+    perm, inv = np.asarray(perm), np.asarray(inv)
+    assert sorted(perm.tolist()) == list(range(n_pad))
+    np.testing.assert_array_equal(perm[inv], np.arange(n_pad))
+    # sorted order is Z-ordered: consecutive points are spatial neighbours
+    xs = x[perm[perm < n]]
+    jumps = np.median(np.linalg.norm(np.diff(xs, axis=0), axis=1))
+    unsorted = np.median(np.linalg.norm(np.diff(x, axis=0), axis=1))
+    assert jumps < 0.5 * unsorted   # Z-order ≫ random order locality
+
+
+def test_encode_win_order_invariance_and_grad():
+    """encode_win returns features in caller order (permuting the input
+    permutes the output identically) and is differentiable wrt the table."""
+    rng = np.random.RandomState(5)
+    l, t, n = 4, 8192, 900          # n not a multiple of _B: padding path
+    resolutions = [16, 64, 256, 1024]
+    table = jnp.asarray(rng.randn(l, t, 2).astype(np.float32))
+    x = rng.rand(n, 3).astype(np.float32)
+
+    out = hw.encode_win(table, jnp.asarray(x), resolutions,
+                        use_kernel=False)
+    assert out.shape == (n, l, 2)
+    p = rng.permutation(n)
+    out_p = hw.encode_win(table, jnp.asarray(x[p]), resolutions,
+                          use_kernel=False)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out)[p],
+                               atol=1e-5)
+
+    g = jax.grad(lambda tb: hw.encode_win(tb, jnp.asarray(x), resolutions,
+                                          use_kernel=False).sum())(table)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).max()) > 0
+
+
+def test_encode_win_kernel_matches_oracle_end_to_end():
+    rng = np.random.RandomState(6)
+    l, t = 4, 8192
+    n = 2 * hw._B
+    resolutions = [16, 64, 256, 1024]
+    table = jnp.asarray(rng.randn(l, t, 2).astype(np.float32))
+    # clustered points -> realistic window locality
+    centers = rng.rand(4, 3)
+    x = np.clip(centers.repeat(n // 4, 0)
+                + rng.randn(n, 3) * 0.03, 0, 1).astype(np.float32)
+    out_k = hw.encode_win(table, jnp.asarray(x), resolutions,
+                          interpret=True, use_kernel=True)
+    out_o = hw.encode_win(table, jnp.asarray(x), resolutions,
+                          use_kernel=False)
+    scale = float(jnp.abs(out_o).max())
+    assert float(jnp.abs(out_k - out_o).max()) < 0.02 * scale
+
+
+def test_corner_indices_collision_free_when_dense_fits():
+    """For res <= cbrt(T) the Morton mapping is injective — collision-free
+    exactly where the reference's dense indexing is."""
+    rng = np.random.RandomState(7)
+    t = 1 << 19
+    res = 64           # 64^3 = 262144 < 2^19
+    x = jnp.asarray(rng.rand(2048, 3).astype(np.float32))
+    idx, w = hw.corner_indices_weights_win(x, [res], t)
+    idx = np.asarray(idx)[0]                      # [8, N]
+    # distinct cells -> distinct indices: reconstruct cells from coords
+    cells = np.floor(np.asarray(x) * res).astype(np.int64)
+    corner0 = cells[:, 0] * (1 << 20) + cells[:, 1] * (1 << 10) + cells[:, 2]
+    uniq_cells = len(np.unique(corner0))
+    uniq_idx = len(np.unique(idx[0]))
+    assert uniq_idx == uniq_cells
+    np.testing.assert_allclose(np.asarray(w)[0].sum(0), 1.0, atol=1e-5)
+
+
+def test_hashgrid_encoding_win_xla_impl():
+    """The model's impl="win_xla" path runs end-to-end on CPU."""
+    from spinnerf_tpu.models.hashgrid import HashGridEncoding
+    enc = HashGridEncoding(n_levels=4, log2_table_size=13, base_res=16,
+                           finest_res=512.0, impl="win_xla")
+    rng = np.random.RandomState(8)
+    x = jnp.asarray(rng.rand(600, 3).astype(np.float32))
+    params = enc.init(jax.random.PRNGKey(0), x)
+    out = enc.apply(params, x)
+    assert out.shape == (600, 8)
+    g = jax.grad(lambda p: jnp.sum(enc.apply(p, x) ** 2))(params)
+    leaves = jax.tree.leaves(g)
+    assert all(np.isfinite(np.asarray(a)).all() for a in leaves)
+    assert float(jnp.abs(leaves[0]).max()) > 0
