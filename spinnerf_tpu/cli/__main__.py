@@ -231,8 +231,11 @@ def main(argv=None):
         ap.add_argument("--kind", default="mixed",
                         choices=["mixed", "irregular", "rectangle",
                                  "outpainting", "dumb", "superres",
-                                 "squares"])
+                                 "squares", "segm"])
         ap.add_argument("--seed", type=int, default=0)
+        ap.add_argument("--segm_weights", default=None,
+                        help="--kind segm: MIT ade20k encoder weights "
+                             "(default: $SPINNERF_WEIGHTS_DIR pickup)")
         a = ap.parse_args(rest)
         import cv2
         import numpy as np
@@ -250,7 +253,16 @@ def main(argv=None):
                "superres": lambda h, w, rng: lama_masks.superres_mask(
                    h, w, rng),
                "squares": lambda h, w, rng: lama_masks.squares_mask(
-                   h, w, rng)}[a.kind]
+                   h, w, rng),
+               "segm": None}[a.kind]
+        segm_gen = None
+        if a.kind == "segm":
+            # learned object-mask proposal (parity: gen_mask_dataset.py with
+            # SegmentationMask; see eval/masks.py for the ADE20k adaptation)
+            from spinnerf_tpu.eval.masks import (LearnedMaskGenerator,
+                                                 ade20k_instances)
+            segm_gen = LearnedMaskGenerator(
+                ade20k_instances(a.segm_weights), seed=a.seed)
         indir, outdir = Path(a.indir), Path(a.outdir)
         outdir.mkdir(parents=True, exist_ok=True)
         rng = np.random.RandomState(a.seed)
@@ -262,6 +274,13 @@ def main(argv=None):
             h, w = img.shape[:2]
             stem = f"{p.stem}_crop000"
             cv2.imwrite(str(outdir / f"{stem}.png"), img)
+            if segm_gen is not None:
+                rgb = img[..., ::-1].astype(np.float32) / 255.0
+                for k, m in enumerate(segm_gen.get_masks(rgb)[:a.n_masks]):
+                    cv2.imwrite(str(outdir / f"{stem}_mask{k:03d}.png"),
+                                (m * 255).astype(np.uint8))
+                    n_pairs += 1
+                continue
             for k in range(a.n_masks):
                 # mask synthesis may legally produce an empty mask
                 # (reference min_times=0); an eval pair needs a hole

@@ -10,8 +10,10 @@ TPU-first design notes:
   binary search and maps perfectly onto 8x128 vector lanes. This replaces the
   reference's native CUDA `torchsearchsorted` kernel
   (`DS_NeRF/torchsearchsorted/src/cuda/searchsorted_cuda_kernel.cu`).
-  A fused Pallas kernel for the full PDF->samples path lives in
-  `spinnerf_tpu.ops.pdf_sampling`.
+  XLA fuses the whole PDF->samples chain into a handful of VPU loops; a
+  dedicated Pallas kernel was evaluated and rejected — the fused train step
+  is ~93% Pallas-MLP time already (BASELINE.md), so sampling is not on the
+  critical path.
 
 Behavior parity: `render_rays` stratified section (`DS_NeRF/run_nerf.py:646-668`)
 and `sample_pdf` (`DS_NeRF/run_nerf_helpers.py:304-347`).

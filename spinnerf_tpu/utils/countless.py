@@ -14,6 +14,12 @@ a usable sentinel (the "zero-corrected" countless variant).
 
 Both a NumPy implementation (host-side mask prep) and a jax.numpy one
 (jit/TPU-safe, used inside eval pipelines) are provided.
+
+Scope: of the vendored suite, only `zero_corrected_countless` (2D) is
+load-bearing in the reference — the single call site is
+`evaluation/masks/mask.py:226` (mask pyramid downsampling). The
+`countless3d` variants and the benchmark/memprof harness are unused by any
+reference pipeline and are deliberately not ported.
 """
 from __future__ import annotations
 
