@@ -87,7 +87,10 @@ def run_ours(ws: Path, iters: int) -> float:
     run_dir = ws / "ours_run"
     run_dir.mkdir(parents=True, exist_ok=True)
     import os
-    env = dict(os.environ, JAX_PLATFORMS="cpu",
+    # PALLAS_AXON_POOL_IPS="" keeps the CPU run off the TPU relay entirely
+    # (the sitecustomize otherwise dials the tunnel at startup and hangs
+    # when it is down)
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="",
                PYTHONPATH=str(REPO) + ":" + os.environ.get("PYTHONPATH", ""))
     cmd = [sys.executable, "-m", "spinnerf_tpu.cli", "train",
            "--expname", "parity", "--basedir", str(run_dir / "logs"),
