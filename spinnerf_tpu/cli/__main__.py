@@ -267,6 +267,7 @@ def main(argv=None):
         outdir.mkdir(parents=True, exist_ok=True)
         rng = np.random.RandomState(a.seed)
         n_pairs = 0
+        n_skipped = 0
         for p in sorted(indir.iterdir()):
             if p.suffix.lower() not in (".png", ".jpg", ".jpeg"):
                 continue
@@ -276,7 +277,12 @@ def main(argv=None):
             cv2.imwrite(str(outdir / f"{stem}.png"), img)
             if segm_gen is not None:
                 rgb = img[..., ::-1].astype(np.float32) / 255.0
-                for k, m in enumerate(segm_gen.get_masks(rgb)[:a.n_masks]):
+                segm_masks = segm_gen.get_masks(rgb)[:a.n_masks]
+                if not segm_masks:   # no usable object: no orphan image
+                    (outdir / f"{stem}.png").unlink(missing_ok=True)
+                    n_skipped += 1
+                    continue
+                for k, m in enumerate(segm_masks):
                     cv2.imwrite(str(outdir / f"{stem}_mask{k:03d}.png"),
                                 (m * 255).astype(np.uint8))
                     n_pairs += 1
@@ -291,7 +297,10 @@ def main(argv=None):
                 cv2.imwrite(str(outdir / f"{stem}_mask{k:03d}.png"),
                             (m * 255).astype(np.uint8))
                 n_pairs += 1
-        print(f"wrote {n_pairs} image/mask pairs to {outdir}")
+        msg = f"wrote {n_pairs} image/mask pairs to {outdir}"
+        if n_skipped:
+            msg += f" ({n_skipped} images skipped: no usable object mask)"
+        print(msg)
         return 0
 
     if cmd == "lama_train":
@@ -348,13 +357,13 @@ def main(argv=None):
         if a.fid or a.inception_weights:
             from spinnerf_tpu.eval.inpainting import InceptionFeatureExtractor
             fe = InceptionFeatureExtractor(a.inception_weights)
-        lpips_fn = None
+        lpips_fn, lpips_key = None, "lpips"
         if a.lpips:
-            from spinnerf_tpu import weights as wreg
-            from spinnerf_tpu.models.lpips import load_lpips
-            lpips_fn = load_lpips(wreg.find("vgg16"), wreg.find("lpips_lin"))
+            from spinnerf_tpu.models.lpips import load_lpips_labeled
+            lpips_fn, lpips_key = load_lpips_labeled()
         results = lama_tools.evaluate_predicts(a.datadir, a.predictdir,
                                                a.outpath, lpips_fn=lpips_fn,
+                                               lpips_key=lpips_key,
                                                feature_extractor=fe)
         for group, tbl in results.items():
             print(group, {k: (round(v["mean"], 4)

@@ -127,8 +127,11 @@ class InpaintingEvaluator:
 
     def __init__(self, *, lpips_fn=None, feature_extractor=None,
                  bin_edges=(0.0, 0.1, 0.2, 0.3, 0.4, 1.01),
-                 integral_fid_norm: float = 100.0):
+                 integral_fid_norm: float = 100.0, lpips_key: str = "lpips"):
         self.lpips_fn = lpips_fn
+        # callers must pass "lpips_random_vgg" when the metric runs on
+        # random weights (see models.lpips.load_lpips_labeled)
+        self.lpips_key = lpips_key
         self.features = feature_extractor
         self.bin_edges = np.asarray(bin_edges)
         self.integral_fid_norm = integral_fid_norm
@@ -145,8 +148,8 @@ class InpaintingEvaluator:
             "psnr": float(m.psnr(jnp.asarray(pred), jnp.asarray(target))),
         }
         if self.lpips_fn is not None:
-            row["lpips"] = float(self.lpips_fn(jnp.asarray(pred),
-                                               jnp.asarray(target)))
+            row[self.lpips_key] = float(self.lpips_fn(jnp.asarray(pred),
+                                                      jnp.asarray(target)))
         self.rows.append(row)
         if self.features is not None:
             self._feats_pred.append(pred)

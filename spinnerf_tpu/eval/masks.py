@@ -145,12 +145,15 @@ _ADE20K_STUFF = frozenset({0, 1, 2, 3, 4, 5, 6, 9, 13, 16, 21, 26, 29, 34,
                            46, 52, 60})
 
 
-def ade20k_instances(weights_path=None, *, min_area_frac: float = 0.005,
+def ade20k_instances(weights_path=None, *, decoder_path=None,
+                     min_area_frac: float = 0.005,
                      stuff_ids=_ADE20K_STUFF, seed: int = 0):
     """Build `instances_fn(image [H,W,3] in [0,1]) -> [bool masks]` from the
-    in-tree ADE20k segmentation zoo. Real MIT weights are picked up from
-    `$SPINNERF_WEIGHTS_DIR` (see `spinnerf_tpu/weights.py`); otherwise the
-    net is random-init (architecture-exercising only — documented fallback).
+    in-tree ADE20k segmentation zoo. Real MIT weights — BOTH the encoder and
+    the ppm_deepsup decoder checkpoints — are picked up from
+    `$SPINNERF_WEIGHTS_DIR` (see `spinnerf_tpu/weights.py`); any missing
+    piece leaves that half random-init (architecture-exercising only —
+    labels are then not meaningful object classes).
 
     Instances = connected components of each non-"stuff" class.
     """
@@ -158,27 +161,11 @@ def ade20k_instances(weights_path=None, *, min_area_frac: float = 0.005,
     import jax.numpy as jnp
     from scipy import ndimage
 
-    from spinnerf_tpu.models.segmentation import (SegmentationModel,
-                                                  imagenet_normalize)
+    from spinnerf_tpu.models.segmentation import (imagenet_normalize,
+                                                  load_segmentation_model)
 
-    model = SegmentationModel()
-    if weights_path is None:
-        from spinnerf_tpu import weights as wreg
-        weights_path = wreg.find("ade20k_resnet50")
-    if weights_path:
-        from spinnerf_tpu.models.segmentation import convert_mit_encoder
-        enc_vars = convert_mit_encoder(weights_path, depth=50)
-        variables = jax.jit(model.init)(jax.random.PRNGKey(seed),
-                                        jnp.zeros((1, 64, 64, 3)))
-        params = dict(variables["params"])
-        params["encoder"] = enc_vars["params"]
-        bs = dict(variables.get("batch_stats", {}))
-        if "batch_stats" in enc_vars:
-            bs["encoder"] = enc_vars["batch_stats"]
-        variables = {"params": params, "batch_stats": bs}
-    else:
-        variables = jax.jit(model.init)(jax.random.PRNGKey(seed),
-                                        jnp.zeros((1, 64, 64, 3)))
+    model, variables, _ = load_segmentation_model(weights_path, decoder_path,
+                                                  seed=seed)
 
     @jax.jit
     def _logits(v, x):

@@ -221,7 +221,12 @@ def inception_pool3(params, images, *, resize_input=True,
     """
     x = images.astype(jnp.float32)
     if resize_input:
-        x = jax.image.resize(x, (x.shape[0], 299, 299, 3), "bilinear")
+        # antialias=False: torch F.interpolate(bilinear, align_corners=False)
+        # applies no antialias prefilter when downscaling; JAX's default
+        # (True) would produce different pool3 features for inputs > 299px
+        # and break FID comparability (inception.py:151-155)
+        x = jax.image.resize(x, (x.shape[0], 299, 299, 3), "bilinear",
+                             antialias=False)
     if normalize_input:
         x = 2.0 * x - 1.0
     for kind, name, specs in BLOCKS:

@@ -144,6 +144,18 @@ def load_lin_weights_from_torch(path):
     return out
 
 
+def load_lpips_labeled(vgg_weights_path=None, lin_weights_path=None, **kw):
+    """(lpips_fn, key): the key is "lpips" only when BOTH a real VGG16
+    backbone and the real LPIPS linear heads back the metric; any random
+    fallback (either piece) labels results "lpips_random_vgg" so a
+    non-comparable number can never read as published LPIPS."""
+    from spinnerf_tpu import weights as wreg
+    vgg = vgg_weights_path or wreg.find("vgg16")
+    lin = lin_weights_path or wreg.find("lpips_lin")
+    key = "lpips" if (vgg and lin) else "lpips_random_vgg"
+    return load_lpips(vgg, lin, **kw), key
+
+
 def load_lpips(vgg_weights_path=None, lin_weights_path=None, *,
                seed: int = 0, compute_dtype=jnp.float32) -> Callable:
     """Build an `lpips(x, y) -> distance` callable (jittable).

@@ -207,6 +207,71 @@ def imagenet_normalize(img):
     return (img - IMAGENET_MEAN) / IMAGENET_STD
 
 
+def convert_mit_decoder(path):
+    """Convert an MIT ade20k `ppm_deepsup` decoder `state_dict`
+    (`ppm.{i}.{1,2}.*`, `conv_last.{0,1,4}.*`; `base.py:290-318`) into
+    `PPMDecoder` flax variables. The deepsup auxiliary head
+    (`cbr_deepsup`/`conv_last_deepsup`) is train-time only and ignored."""
+    import torch
+    sd = torch.load(path, map_location="cpu")
+    sd = sd.get("state_dict", sd)
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+
+    params, stats = {}, {}
+
+    def put_conv(dst, src, bias=False):
+        params[dst] = {"kernel": np.transpose(sd[src + ".weight"],
+                                              (2, 3, 1, 0))}
+        if bias:
+            params[dst]["bias"] = sd[src + ".bias"]
+
+    def put_bn(dst, src):
+        params[dst] = {"scale": sd[src + ".weight"],
+                       "bias": sd[src + ".bias"]}
+        stats[dst] = {"mean": sd[src + ".running_mean"],
+                      "var": sd[src + ".running_var"]}
+
+    for k in range(4):                     # pool scales (1, 2, 3, 6)
+        put_conv(f"ppm{k}_conv", f"ppm.{k}.1")
+        put_bn(f"ppm{k}_bn", f"ppm.{k}.2")
+    put_conv("fuse_conv", "conv_last.0")
+    put_bn("fuse_bn", "conv_last.1")
+    put_conv("out", "conv_last.4", bias=True)
+    return {"params": params, "batch_stats": stats}
+
+
+def load_segmentation_model(encoder_path=None, decoder_path=None, *,
+                            depth: int = 50, seed: int = 0):
+    """Assemble a `SegmentationModel` with whatever real MIT weights are
+    available (explicit paths win; else `$SPINNERF_WEIGHTS_DIR` pickup; else
+    seeded random init). Returns (model, variables, is_real) where is_real
+    is True only when BOTH encoder and decoder weights were loaded."""
+    import jax
+
+    from spinnerf_tpu import weights as wreg
+    if encoder_path is None and depth == 50:
+        encoder_path = wreg.find("ade20k_resnet50")
+    if decoder_path is None:
+        decoder_path = wreg.find("ade20k_ppm_decoder")
+
+    model = SegmentationModel(depth=depth)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(seed),
+                                    jnp.zeros((1, 64, 64, 3)))
+    params = dict(variables["params"])
+    stats = dict(variables.get("batch_stats", {}))
+    if encoder_path:
+        enc = convert_mit_encoder(encoder_path, depth=depth)
+        params["encoder"] = enc["params"]
+        if "batch_stats" in enc:
+            stats["encoder"] = enc["batch_stats"]
+    if decoder_path:
+        dec = convert_mit_decoder(decoder_path)
+        params["decoder"] = dec["params"]
+        stats["decoder"] = dec["batch_stats"]
+    return (model, {"params": params, "batch_stats": stats},
+            bool(encoder_path and decoder_path))
+
+
 def make_resnet_pl(*, depth: int = 50, weights_path=None, seed: int = 0,
                    input_shape=(1, 64, 64, 3)):
     """Build the resnet_pl segmentation-perceptual loss

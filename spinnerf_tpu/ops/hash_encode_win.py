@@ -127,9 +127,9 @@ def window_offsets(idx, t: int):
     pages = jnp.min(blocks, axis=(1, 3)) // PAGE_ENTRIES      # [L, NB]
     pages = jnp.minimum(pages, max(n_pages - 2, 0))
     off = blocks - (pages * PAGE_ENTRIES)[:, None, :, None]
-    off = jnp.where(off < WINDOW_ENTRIES, off, off % WINDOW_ENTRIES)
-    # idx >= page start by construction except for the n_pages-2 clamp,
-    # where small indices can go negative — wrap them into the window too
+    # one wrap handles both directions: offsets beyond the window (Z-curve
+    # discontinuities) and negative ones (small indices under the
+    # n_pages-2 clamp) alias into [0, WINDOW_ENTRIES)
     off = off % WINDOW_ENTRIES
     return pages.astype(jnp.int32), off.reshape(l, 8, n).astype(jnp.int32)
 
@@ -338,20 +338,26 @@ def corner_indices_weights_win(x, resolutions, t: int):
     (idx [L, 8, N] int32, w [L, 8, N] f32) with trilinear weights identical
     to `HashGridEncoding.corner_indices_weights` but the hash replaced by
 
-        idx = (morton27(c) + morton27(c >> 9) * 2654435761) mod t
+        m   = morton27(c)                      # 27-bit Z-index, low 9b/axis
+        idx = (m ^ (m >> log2 t) * K1 ^ morton27(c >> 9) * K2) mod t
 
-    Low 9 bits/axis interleave to a 27-bit Z-index (window-local for
-    spatially adjacent cells); the >=512 coordinate part is a per-region
-    constant within a sorted block, so it shifts the whole window instead of
-    breaking it, while spreading distinct 512-regions across the table.
-    For coarse levels (res <= cbrt(t), coords < 512) the high part is zero
-    and the mapping is injective — collision-free exactly where the
-    reference's dense indexing is (`run_nerf_helpers_tcnn.py:24`,
-    instant-ngp §4: the collision PATTERN is a free design axis).
+    The Z-index is window-local for spatially adjacent cells. The two XOR
+    terms fold the out-of-range bits back in pseudo-randomly; each is
+    constant across a sorted block's neighbourhood, so they shift the whole
+    window instead of breaking it. The mapping is injective (collision-free)
+    while m < t, i.e. for level resolutions <= 2^floor(log2(t)/3) - 1
+    (res <= 63 at the reference-default t=2^19); the reference's dense
+    indexing stays collision-free slightly longer (up to (r+1)^3 <= t,
+    res 79 at 2^19) but is not Z-local — for the in-between levels this
+    trades a few extra pseudo-random collisions for MXU-windowable access
+    (instant-ngp §4: hash grids train through collisions by construction;
+    the collision PATTERN is a free design axis).
     """
     if t & (t - 1):
         raise ValueError("table size must be a power of two")
+    log2t = t.bit_length() - 1
     mask = jnp.uint32(t - 1)
+    k_fold = jnp.uint32(2246822519)
     k_hi = jnp.uint32(2654435761)
     scales = jnp.asarray(resolutions, x.dtype)
     xs = scales[:, None, None] * x.T[None]                 # [L, 3, N]
@@ -366,7 +372,8 @@ def corner_indices_weights_win(x, resolutions, t: int):
         cz = x0[:, 2, :] + np.uint32(k)
         m = morton27(cx, cy, cz)
         hi = morton27(cx >> 9, cy >> 9, cz >> 9)
-        idx_c.append(((m + hi * k_hi) & mask).astype(jnp.int32))
+        mixed = m ^ ((m >> log2t) * k_fold) ^ (hi * k_hi)
+        idx_c.append((mixed & mask).astype(jnp.int32))
         wx = frac[:, 0, :] if i else 1.0 - frac[:, 0, :]
         wy = frac[:, 1, :] if j else 1.0 - frac[:, 1, :]
         wz = frac[:, 2, :] if k else 1.0 - frac[:, 2, :]

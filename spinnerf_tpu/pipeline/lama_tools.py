@@ -82,14 +82,14 @@ def _find_prediction(predictdir, mask_path):
 
 
 def score_predictions(datadir, predictdir, *, lpips_fn=None,
-                      feature_extractor=None):
+                      feature_extractor=None, lpips_key="lpips"):
     """Score a directory of precomputed predictions.
 
     Returns (results dict from `InpaintingEvaluator.evaluation_end`,
     per-image rows). Parity: `bin/evaluate_predicts.py`.
     """
     from spinnerf_tpu.eval.inpainting import InpaintingEvaluator
-    ev = InpaintingEvaluator(lpips_fn=lpips_fn,
+    ev = InpaintingEvaluator(lpips_fn=lpips_fn, lpips_key=lpips_key,
                              feature_extractor=feature_extractor)
     names = []
     for ip, mp in load_eval_pairs(datadir):
@@ -133,10 +133,11 @@ def write_results_tsv(results: dict, outpath) -> Path:
 
 
 def evaluate_predicts(datadir, predictdir, outpath, *, lpips_fn=None,
-                      feature_extractor=None) -> dict:
+                      feature_extractor=None, lpips_key="lpips") -> dict:
     """Score + write the TSV table (parity: `bin/evaluate_predicts.py`)."""
     results, rows = score_predictions(datadir, predictdir, lpips_fn=lpips_fn,
-                                      feature_extractor=feature_extractor)
+                                      feature_extractor=feature_extractor,
+                                      lpips_key=lpips_key)
     write_results_tsv(results, outpath)
     with open(str(outpath) + ".per_image.json", "w") as f:
         json.dump(rows, f, indent=2)

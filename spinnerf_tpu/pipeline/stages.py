@@ -127,15 +127,12 @@ def stage_eval(cfg: Config, trainer, *, log=print):
     only when VGG16/lin weights are dropped in (`spinnerf_tpu/weights.py`);
     otherwise the key is `lpips_random_vgg`."""
     import jax.numpy as jnp
-    from spinnerf_tpu import weights as wreg
     from spinnerf_tpu.eval import metrics
-    from spinnerf_tpu.models.lpips import load_lpips
     if len(trainer.i_test) == 0:
         log("[eval] no test views")
         return {}
-    vgg_path = wreg.find("vgg16")
-    lpips_fn = load_lpips(vgg_path, wreg.find("lpips_lin"))
-    lpips_key = "lpips" if vgg_path else "lpips_random_vgg"
+    from spinnerf_tpu.models.lpips import load_lpips_labeled
+    lpips_fn, lpips_key = load_lpips_labeled()
     rgbs, _ = trainer.render_poses_list(trainer.scene.poses[trainer.i_test])
     rows = []
     for r, t in zip(rgbs, trainer.i_test):

@@ -14,6 +14,7 @@ the files below into one directory and point `SPINNERF_WEIGHTS_DIR` at it
       pt_inception.pth          pytorch-fid InceptionV3
                                 (pt_inception-2015-12-05-6726825d.pth)
       ade20k_resnet50.pth       MIT CSAIL ADE20k encoder weights
+      ade20k_ppm_decoder.pth    MIT CSAIL ADE20k ppm_deepsup decoder weights
 
 Every consumer calls `find(<name>)`; golden tests in
 `tests/test_golden_weights.py` activate automatically when files appear.
@@ -33,7 +34,9 @@ WELL_KNOWN = {
     "inception_fid": ("pt_inception.pth",
                       ("pt_inception-2015-12-05-6726825d.pth",)),
     "ade20k_resnet50": ("ade20k_resnet50.pth",
-                        ("encoder_epoch_30.pth",)),
+                        ("encoder_epoch_30.pth", "encoder_epoch_20.pth")),
+    "ade20k_ppm_decoder": ("ade20k_ppm_decoder.pth",
+                           ("decoder_epoch_30.pth", "decoder_epoch_20.pth")),
 }
 
 

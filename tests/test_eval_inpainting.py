@@ -33,10 +33,12 @@ def test_evaluator_bins_and_integral(rng):
     assert sum(out[k]["n"] for k in bins) == 6
 
 
-def test_evaluator_inception_fid_key(rng):
+def test_evaluator_inception_fid_key(rng, monkeypatch):
     """Random-weights InceptionV3 reports `fid_random_inception`, never
     `fid` — only real dropped-in weights may claim FID."""
     from spinnerf_tpu.eval.inpainting import InceptionFeatureExtractor
+    # isolate from any checkpoints dropped into the session's weights dir
+    monkeypatch.delenv("SPINNERF_WEIGHTS_DIR", raising=False)
     fe = InceptionFeatureExtractor(batch=4)
     assert fe.fid_key == "fid_random_inception"
     ev = InpaintingEvaluator(feature_extractor=fe)

@@ -155,3 +155,18 @@ def test_ade20k_encoder_converts_and_runs():
     b = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
     assert float(loss_fn(a, a)) < 1e-8
     assert float(loss_fn(a, b)) > 0
+
+
+def test_ade20k_full_model_converts_and_runs():
+    """Encoder + ppm decoder weights assemble into a SegmentationModel whose
+    logits are finite and whose argmax produces plausible class diversity."""
+    import jax.numpy as jnp2
+    from spinnerf_tpu.models.segmentation import load_segmentation_model
+    _need("ade20k_resnet50")
+    _need("ade20k_ppm_decoder")
+    model, variables, is_real = load_segmentation_model()
+    assert is_real
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.rand(1, 96, 96, 3).astype(np.float32))
+    logits = model.apply(variables, x)
+    assert logits.shape[-1] == 150 and bool(jnp2.isfinite(logits).all())

@@ -158,22 +158,31 @@ def test_encode_win_kernel_matches_oracle_end_to_end():
     assert float(jnp.abs(out_k - out_o).max()) < 0.02 * scale
 
 
-def test_corner_indices_collision_free_when_dense_fits():
-    """For res <= cbrt(T) the Morton mapping is injective — collision-free
-    exactly where the reference's dense indexing is."""
+def test_corner_indices_collision_free_when_morton_fits():
+    """For corner coords < 2^floor(log2(t)/3) the mapping is injective
+    (see corner_indices_weights_win docstring); just past that bound the
+    XOR-fold keeps collisions pseudo-random and rare, not systematic."""
     rng = np.random.RandomState(7)
     t = 1 << 19
-    res = 64           # 64^3 = 262144 < 2^19
-    x = jnp.asarray(rng.rand(2048, 3).astype(np.float32))
+    x = jnp.asarray(rng.rand(4096, 3).astype(np.float32))
+
+    res = 63           # corners <= 63 -> morton < 2^18 < t: injective
     idx, w = hw.corner_indices_weights_win(x, [res], t)
     idx = np.asarray(idx)[0]                      # [8, N]
-    # distinct cells -> distinct indices: reconstruct cells from coords
     cells = np.floor(np.asarray(x) * res).astype(np.int64)
     corner0 = cells[:, 0] * (1 << 20) + cells[:, 1] * (1 << 10) + cells[:, 2]
-    uniq_cells = len(np.unique(corner0))
-    uniq_idx = len(np.unique(idx[0]))
-    assert uniq_idx == uniq_cells
+    assert len(np.unique(idx[0])) == len(np.unique(corner0))
     np.testing.assert_allclose(np.asarray(w)[0].sum(0), 1.0, atol=1e-5)
+
+    # res=70: dense indexing would still be collision-free ((r+1)^3 < t) but
+    # the folded morton is not; the extra collision rate must stay small
+    res = 70
+    idx70 = np.asarray(hw.corner_indices_weights_win(x, [res], t)[0])[0]
+    cells = np.floor(np.asarray(x) * res).astype(np.int64)
+    corner0 = cells[:, 0] * (1 << 20) + cells[:, 1] * (1 << 10) + cells[:, 2]
+    n_cells = len(np.unique(corner0))
+    n_idx = len(np.unique(idx70[0]))
+    assert n_idx > 0.97 * n_cells, (n_idx, n_cells)
 
 
 def test_hashgrid_encoding_win_xla_impl():

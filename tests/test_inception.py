@@ -222,6 +222,31 @@ def test_pool3_matches_torch(converted):
     np.testing.assert_allclose(got, want, atol=2e-3, rtol=2e-3)
 
 
+def test_resize_matches_torch_interpolate():
+    """The 299px input resize must match torch F.interpolate(bilinear,
+    align_corners=False) with NO antialiasing — FID comparability depends
+    on it for any input larger than 299px (inception.py:151-155)."""
+    import jax
+    import torch.nn.functional as F
+    x = np.random.RandomState(4).rand(1, 64, 80, 3).astype(np.float32)
+    with torch.no_grad():
+        want = F.interpolate(torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                             size=(299, 299), mode="bilinear",
+                             align_corners=False).numpy()
+    got = np.asarray(jax.image.resize(jnp.asarray(x), (1, 299, 299, 3),
+                                      "bilinear", antialias=False))
+    np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want, atol=1e-5)
+    # and downscaling (the FID-relevant direction)
+    y = np.random.RandomState(5).rand(1, 512, 384, 3).astype(np.float32)
+    with torch.no_grad():
+        want = F.interpolate(torch.from_numpy(y.transpose(0, 3, 1, 2)),
+                             size=(299, 299), mode="bilinear",
+                             align_corners=False).numpy()
+    got = np.asarray(jax.image.resize(jnp.asarray(y), (1, 299, 299, 3),
+                                      "bilinear", antialias=False))
+    np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want, atol=1e-5)
+
+
 def test_normalize_and_resize_semantics():
     """resize_input=True resizes any input to 299 and normalize maps
     [0,1]->[-1,1] (inception.py:151-158); the random-params path runs it."""
