@@ -148,7 +148,7 @@ class HashGridEncoding(nn.Module):
             resolutions = level_resolutions(self.n_levels, self.base_res,
                                             self.finest_res)
             out = hw.encode_win(table, x, resolutions,
-                                use_kernel=(impl == "win"))    # [N, L, F]
+                                use_kernel=(impl == "win"))    # [N, L*F]
             return out.astype(self.compute_dtype).reshape(
                 *shape, self.n_levels * self.features)
 

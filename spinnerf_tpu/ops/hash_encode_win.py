@@ -249,7 +249,10 @@ def hash_encode_win(table, idx, weights, pages, interpret=False):
       pages: [L, N/_B] int32 window pages from `window_offsets(idx, T)`.
       interpret: run kernels in interpret mode (CPU tests).
 
-    Returns [N, L, F] float32 features (window-clamp aliasing applied).
+    Returns [N, L*F] float32 features, level-major (column l*F + f) —
+    NEVER [N, L, F]: a 2-wide minor dim tile-pads to 128 lanes on TPU,
+    inflating every HBM read/write of the output (and its cotangent on the
+    backward pass) by 64x.
     """
     out, _ = _win_fwd_impl(table, idx, weights, pages, interpret)
     return out
@@ -297,7 +300,10 @@ def _win_fwd_impl(table, idx, weights, pages, interpret):
         out_shape=jax.ShapeDtypeStruct((l, 2, n), jnp.float32),
         interpret=interpret,
     )(pages, rows, lanes, w, tabt, tabt)
-    return out.transpose(2, 0, 1), ((l, t, f), rows, lanes, w, pages)
+    # [L, 2, N] -> [L*2, N] is free (contiguous); the transpose to [N, L*2]
+    # moves between two DENSE layouts (N-minor -> 32-minor, padded 4x not
+    # 64x). Returning [N, L, F] here would tile-pad F=2 to 128 lanes.
+    return out.reshape(l * 2, n).T, ((l, t, f), rows, lanes, w, pages)
 
 
 def _win_fwd_rule(table, idx, weights, pages, interpret):
@@ -308,7 +314,8 @@ def _win_bwd_rule(interpret, res, g):
     (l, t, f), rows, lanes, w, pages = res
     r = t * f // 128
     n = rows.shape[2]
-    g_l = g.transpose(1, 2, 0).astype(jnp.float32)            # [L, 2, N]
+    # g arrives [N, L*2]; dense-transpose then free reshape to [L, 2, N]
+    g_l = g.T.reshape(l, 2, n).astype(jnp.float32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -331,10 +338,11 @@ def _win_bwd_rule(interpret, res, g):
 hash_encode_win.defvjp(_win_fwd_rule, _win_bwd_rule)
 
 
-def corner_indices_weights_win(x, resolutions, t: int):
+def corner_indices_weights_win(xt, resolutions, t: int):
     """Locality-preserving corner indices for the windowed kernel.
 
-    x: [N, 3] in [0,1] (points SORTED along the Z-curve). Returns
+    xt: [3, N] in [0,1], coords-major (points SORTED along the Z-curve —
+    the layout `sort_perm` emits; [N, 3] would lane-pad 3->128). Returns
     (idx [L, 8, N] int32, w [L, 8, N] f32) with trilinear weights identical
     to `HashGridEncoding.corner_indices_weights` but the hash replaced by
 
@@ -359,8 +367,8 @@ def corner_indices_weights_win(x, resolutions, t: int):
     mask = jnp.uint32(t - 1)
     k_fold = jnp.uint32(2246822519)
     k_hi = jnp.uint32(2654435761)
-    scales = jnp.asarray(resolutions, x.dtype)
-    xs = scales[:, None, None] * x.T[None]                 # [L, 3, N]
+    scales = jnp.asarray(resolutions, xt.dtype)
+    xs = scales[:, None, None] * xt[None]                  # [L, 3, N]
     x0f = jnp.floor(xs)
     frac = xs - x0f
     x0 = x0f.astype(jnp.uint32)
@@ -383,27 +391,38 @@ def corner_indices_weights_win(x, resolutions, t: int):
 
 
 def sort_perm(x, finest_res: float, n_pad: int):
-    """Z-curve sort permutation, padded to n_pad points.
+    """Z-curve sort of padded points. Returns (x_sorted [3, n_pad] —
+    coords-major, the dense TPU layout — plus perm, inv_perm int32
+    [n_pad]).
 
-    Returns (perm, inv_perm) int32 [n_pad]; pad slots (id >= N) carry
-    clamped copies of the last point so they sort adjacently and never
-    widen a real block's window. Both directions come from `lax.sort`
-    (payload columns ride the sort; no serialized scatter)."""
+    Pad slots (id >= N) carry clamped copies of the last point so they sort
+    adjacently and never widen a real block's window. The coordinate
+    columns ride the SAME `lax.sort` as the keys — a separate x[perm]
+    row-gather would materialize the [N, 3] array lane-padded 3->128 on
+    TPU (42x HBM inflation). inv_perm comes from a second key-only sort;
+    no serialized scatter anywhere."""
     n = x.shape[0]
     hi, lo = morton_sort_keys(x, finest_res)
+    x0, x1, x2 = x[:, 0], x[:, 1], x[:, 2]
     if n_pad != n:
-        hi = jnp.concatenate([hi, jnp.full((n_pad - n,), hi[-1])])
-        lo = jnp.concatenate([lo, jnp.full((n_pad - n,), lo[-1])])
+        pad = (n_pad - n,)
+        hi = jnp.concatenate([hi, jnp.full(pad, hi[-1])])
+        lo = jnp.concatenate([lo, jnp.full(pad, lo[-1])])
+        x0 = jnp.concatenate([x0, jnp.full(pad, x0[-1])])
+        x1 = jnp.concatenate([x1, jnp.full(pad, x1[-1])])
+        x2 = jnp.concatenate([x2, jnp.full(pad, x2[-1])])
     iota = jnp.arange(n_pad, dtype=jnp.int32)
-    _, _, perm = jax.lax.sort((hi, lo, iota), num_keys=2)
+    _, _, perm, s0, s1, s2 = jax.lax.sort((hi, lo, iota, x0, x1, x2),
+                                          num_keys=2)
     _, inv_perm = jax.lax.sort((perm, iota), num_keys=1)
-    return perm, inv_perm
+    return jnp.stack([s0, s1, s2], axis=0), perm, inv_perm
 
 
 def encode_win(table, x, resolutions, *, interpret=False, use_kernel=True):
     """Full windowed hash-grid encode of UNSORTED points.
 
-    x: [N, 3] in [0,1]; table [L, T, 2]. Returns [N, L, 2] float32.
+    x: [N, 3] in [0,1]; table [L, T, 2]. Returns [N, L*2] float32
+    (level-major columns; dense minor dim — see `hash_encode_win`).
     Sorts points along the Z-curve, encodes with the windowed kernel (or the
     bit-identical XLA oracle when `use_kernel=False` — the CPU path), and
     restores the caller's point order. Fully differentiable wrt `table`.
@@ -411,24 +430,20 @@ def encode_win(table, x, resolutions, *, interpret=False, use_kernel=True):
     l, t, f = table.shape
     n = x.shape[0]
     n_pad = -(-n // _B) * _B
-    perm, inv_perm = sort_perm(x, float(max(resolutions)), n_pad)
-    if n_pad != n:
-        x = jnp.concatenate([x, jnp.broadcast_to(x[-1:],
-                                                 (n_pad - n, 3))], axis=0)
-    x_s = permute_rows(x, perm, inv_perm)
-    idx, w = corner_indices_weights_win(x_s, resolutions, t)
+    xt_s, perm, inv_perm = sort_perm(x, float(max(resolutions)), n_pad)
+    idx, w = corner_indices_weights_win(xt_s, resolutions, t)
     pages, _ = window_offsets(idx, t)
     if use_kernel:
         out = hash_encode_win(table, idx, w, pages, interpret)
     else:
         out = hash_encode_win_xla(table, idx, w, pages)
-    out = out.reshape(n_pad, l * f)
-    return permute_rows(out, inv_perm, perm)[:n].reshape(n, l, f)
+    return permute_rows(out, inv_perm, perm)[:n]          # [N, L*F]
 
 
 def hash_encode_win_xla(table, idx, weights, pages):
     """XLA oracle with bit-identical window-clamp semantics (CPU fallback
-    and numerical reference for the Pallas kernels)."""
+    and numerical reference for the Pallas kernels). Returns [N, L*F],
+    level-major — same contract as `hash_encode_win`."""
     l, t, f = table.shape
     n = idx.shape[2]
     _, off = window_offsets(idx, t)
@@ -437,5 +452,6 @@ def hash_encode_win_xla(table, idx, weights, pages):
     flat = (eff.reshape(l, 8 * n)
             + (jnp.arange(l, dtype=jnp.int32) * t)[:, None]).reshape(-1)
     feats = table.reshape(l * t, f)[flat].reshape(l, 8, n, f)
-    return jnp.sum(feats * weights[..., None].astype(feats.dtype),
-                   axis=1).transpose(1, 0, 2)                  # [N, L, F]
+    out = jnp.sum(feats * weights[..., None].astype(feats.dtype),
+                  axis=1)                                      # [L, N, F]
+    return out.transpose(1, 0, 2).reshape(n, l * f)

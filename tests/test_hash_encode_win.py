@@ -75,11 +75,11 @@ def test_kernel_matches_oracle_fwd_bwd():
 
     out_k = hw.hash_encode_win(table, idx, w, pages, True)
     out_o = hw.hash_encode_win_xla(table, idx, w, pages)
-    assert out_k.shape == (n, l, 2)
+    assert out_k.shape == (n, l * 2)     # level-major flat (dense minor dim)
     scale = float(jnp.abs(out_o).max())
     assert float(jnp.abs(out_k - out_o).max()) < 0.02 * scale  # bf16 matmul
 
-    g = jnp.asarray(rng.randn(n, l, 2).astype(np.float32))
+    g = jnp.asarray(rng.randn(n, l * 2).astype(np.float32))
     gk = jax.grad(lambda tb: (hw.hash_encode_win(tb, idx, w, pages, True)
                               * g).sum())(table)
     go = jax.grad(lambda tb: (hw.hash_encode_win_xla(tb, idx, w, pages)
@@ -105,10 +105,13 @@ def test_sort_perm_roundtrip_and_padding():
     rng = np.random.RandomState(4)
     n, n_pad = 700, 1024
     x = rng.rand(n, 3).astype(np.float32)
-    perm, inv = hw.sort_perm(jnp.asarray(x), 128.0, n_pad)
+    xt_s, perm, inv = hw.sort_perm(jnp.asarray(x), 128.0, n_pad)
     perm, inv = np.asarray(perm), np.asarray(inv)
     assert sorted(perm.tolist()) == list(range(n_pad))
     np.testing.assert_array_equal(perm[inv], np.arange(n_pad))
+    # sorted coords ride the sort itself: xt_s[:, i] == x[perm[i]]
+    x_pad = np.concatenate([x, np.repeat(x[-1:], n_pad - n, 0)])
+    np.testing.assert_allclose(np.asarray(xt_s).T, x_pad[perm], atol=0)
     # sorted order is Z-ordered: consecutive points are spatial neighbours
     xs = x[perm[perm < n]]
     jumps = np.median(np.linalg.norm(np.diff(xs, axis=0), axis=1))
@@ -127,7 +130,7 @@ def test_encode_win_order_invariance_and_grad():
 
     out = hw.encode_win(table, jnp.asarray(x), resolutions,
                         use_kernel=False)
-    assert out.shape == (n, l, 2)
+    assert out.shape == (n, l * 2)
     p = rng.permutation(n)
     out_p = hw.encode_win(table, jnp.asarray(x[p]), resolutions,
                           use_kernel=False)
@@ -167,7 +170,7 @@ def test_corner_indices_collision_free_when_morton_fits():
     x = jnp.asarray(rng.rand(4096, 3).astype(np.float32))
 
     res = 63           # corners <= 63 -> morton < 2^18 < t: injective
-    idx, w = hw.corner_indices_weights_win(x, [res], t)
+    idx, w = hw.corner_indices_weights_win(x.T, [res], t)
     idx = np.asarray(idx)[0]                      # [8, N]
     cells = np.floor(np.asarray(x) * res).astype(np.int64)
     corner0 = cells[:, 0] * (1 << 20) + cells[:, 1] * (1 << 10) + cells[:, 2]
@@ -177,7 +180,7 @@ def test_corner_indices_collision_free_when_morton_fits():
     # res=70: dense indexing would still be collision-free ((r+1)^3 < t) but
     # the folded morton is not; the extra collision rate must stay small
     res = 70
-    idx70 = np.asarray(hw.corner_indices_weights_win(x, [res], t)[0])[0]
+    idx70 = np.asarray(hw.corner_indices_weights_win(x.T, [res], t)[0])[0]
     cells = np.floor(np.asarray(x) * res).astype(np.int64)
     corner0 = cells[:, 0] * (1 << 20) + cells[:, 1] * (1 << 10) + cells[:, 2]
     n_cells = len(np.unique(corner0))
