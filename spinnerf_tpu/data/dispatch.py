@@ -36,7 +36,12 @@ def load_scene_for_config(cfg):
             spherify=cfg.spherify, lpips_mode=cfg.lpips,
             mask_subdir=cfg.mask_subdir,
             masks_gt_subdir=cfg.masks_gt_subdir,
-            dilate_iterations=cfg.mask_dilate_iters)
+            # the DS-NeRF loader dilates masks 5x5 x5 for inpainting slack
+            # (`DS_NeRF/load_llff.py:158`), but the MVSeg fork trains the
+            # semantic head on RAW masks (`MVSeg/DS_NeRF/load_llff.py:
+            # 132-147` has no dilation) — dilated 2D blobs are multi-view
+            # inconsistent and the BCE lift cannot converge on them
+            dilate_iterations=0 if cfg.mvseg else cfg.mask_dilate_iters)
         i_train, i_test = llff.train_test_split(
             len(scene.images), n_gt=cfg.N_gt, train_gt=cfg.train_gt,
             llffhold=0 if cfg.llffhold >= 1000000 else cfg.llffhold,

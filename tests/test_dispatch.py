@@ -123,3 +123,25 @@ def test_unknown_dataset_type_raises(tmp_path):
                  dataset_type="nonsense")
     with pytest.raises(ValueError, match="dataset_type"):
         Trainer(cfg, log=lambda *a: None)
+
+
+def test_mvseg_mode_loads_raw_masks(tmp_path):
+    """MVSeg trains the semantic head on RAW masks; the 5x5 x5 inpainting
+    dilation (`DS_NeRF/load_llff.py:158`) must NOT apply in mvseg mode
+    (`MVSeg/DS_NeRF/load_llff.py:132-147` has none) — dilated blobs are
+    multi-view inconsistent and the BCE lift cannot converge on them."""
+    from spinnerf_tpu.data import synthetic
+    from spinnerf_tpu.data.dispatch import load_scene_for_config
+    scene_dir = synthetic.make_scene(tmp_path, n_views=4, h=40, w=50,
+                                     factor=1, mask_views=[0, 1, 2, 3])
+    cfg = Config(datadir=str(scene_dir), factor=1, dataset_type="llff")
+
+    cfg.mvseg = True
+    raw, *_ = load_scene_for_config(cfg)
+    cfg.mvseg = False
+    dil, *_ = load_scene_for_config(cfg)
+
+    raw_frac = float((raw.masks[0] > 0.5).mean())
+    dil_frac = float((dil.masks[0] > 0.5).mean())
+    assert raw_frac < 0.2, raw_frac          # the ball silhouette
+    assert dil_frac > raw_frac * 1.5         # removal stage keeps dilation

@@ -102,6 +102,11 @@ def run_ours(ws: Path, iters: int) -> float:
            "--i_testset", str(iters),
            "--mask_subdir", "label_mv_bootstrapped",
            "--masks_gt_subdir", "label_full",
+           # the reference ran with its argparse default use_viewdirs=False
+           # (its no_tcnn semantic path only EXISTS viewdirs-off: the
+           # 5-channel output_linear, `run_nerf_helpers.py:102,125`); our
+           # default is True, so pin it off for model parity
+           "--use_viewdirs", "False",
            "--no_reload", "--fused_mlp", "False",
            *COMMON_FLAGS]
     return run_logged(cmd, run_dir, ws / "ours.log", env=env)
