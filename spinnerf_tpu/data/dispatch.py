@@ -32,7 +32,13 @@ def load_scene_for_config(cfg):
     dt = cfg.dataset_type
     if dt in ("llff", "spinnerf"):
         scene = llff.load_scene(
-            cfg.datadir, factor=cfg.factor, prepare=cfg.prepare,
+            cfg.datadir, factor=cfg.factor,
+            # MVSeg (stage 2) runs BEFORE inpainting: always the raw RGB
+            # (`MVSeg/DS_NeRF/load_llff.py:93` reads `images_<f>/` directly),
+            # never the stage-5 `lama_images/` substitution — training the
+            # semantic lift on object-removed images leaves the density
+            # field ball-less and paints the labels onto the background
+            prepare=cfg.prepare or cfg.mvseg,
             spherify=cfg.spherify, lpips_mode=cfg.lpips,
             mask_subdir=cfg.mask_subdir,
             masks_gt_subdir=cfg.masks_gt_subdir,

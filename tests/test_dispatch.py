@@ -145,3 +145,12 @@ def test_mvseg_mode_loads_raw_masks(tmp_path):
     dil_frac = float((dil.masks[0] > 0.5).mean())
     assert raw_frac < 0.2, raw_frac          # the ball silhouette
     assert dil_frac > raw_frac * 1.5         # removal stage keeps dilation
+
+    # and mvseg must see the RAW photographs (the object still present),
+    # never the stage-5 `lama_images/` substitution: with the object
+    # removed from the density field the semantic lift paints the labels
+    # onto the background at per-view parallax offsets
+    cfg.mvseg = True
+    raw2, *_ = load_scene_for_config(cfg)
+    diff = np.abs(np.asarray(raw2.images[0]) - np.asarray(dil.images[0]))
+    assert float(diff.max()) > 0.1           # ball present vs inpainted-away
