@@ -10,15 +10,16 @@ line's required keys are metric/value/unit/vs_baseline (flagship rays/s);
                            flagship step (XLA cost_analysis FLOPs / wall)
   step_ms                  flagship step wall-clock
   hashgrid14_rays_per_sec  hash-grid field step, log2_hashmap_size=14
-                           (the TPU-recommended table size; see BASELINE.md)
+                           (dense one-hot MXU encode, ops/hash_encode.py)
   hashgrid19_rays_per_sec  hash-grid field step at the reference default
-                           2^19 (`DS_NeRF/run_nerf_helpers_tcnn.py:24`) —
-                           honest number: the one-hot-matmul encode cost is
-                           linear in table size (ops/hash_encode.py), and no
-                           v5e-feasible formulation beats it (measured: XLA
-                           gather 665ms+8s flat; XLA sort 72ms per level-sort
-                           kills sorted-window gathers; per-row DMA is
-                           issue-bound ~6ns/row = 600ms floor).
+                           2^19 (`DS_NeRF/run_nerf_helpers_tcnn.py:24`),
+                           via the Z-curve windowed encode
+                           (ops/hash_encode_win.py): one 2-key lax.sort
+                           amortized over all 16 levels + O(window) MXU
+                           gathers — the sort cost that killed per-level
+                           sorted gathers (72 ms/level) drops to ~2 ms
+                           total, and the dense kernel's O(T)/point cost
+                           (3.5 s/step at 2^19) disappears.
 
 Baseline: the reference repo publishes no numbers (BASELINE.md); its A6000
 training loop runs ~4 chunked renders of 1024 rays each per iteration at
