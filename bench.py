@@ -135,10 +135,11 @@ def main():
         extra["mfu"] = round(flops / dt / _peak_flops(jax.devices()[0]), 4)
         extra["step_tflops"] = round(flops / 1e12, 4)
 
-    # --- hash-grid field (reference default model): recommended TPU size and
-    # the reference-default 2^19 (slow by table-size-linear encode cost).
+    # --- hash-grid field (reference default model): the dense-kernel size
+    # (2^14, O(T)/point one-hot encode) and the reference-default 2^19
+    # (Z-curve windowed encode — see module docstring).
     from spinnerf_tpu.models.hashgrid import HashGridField
-    for log2t, steps in ((14, 20), (19, 3)) if on_tpu else ((14, 3),):
+    for log2t, steps in ((14, 20), (19, 10)) if on_tpu else ((14, 3),):
         hstep, hparams, hopt = build_step(
             HashGridField(log2_table_size=log2t))
         hdt, _ = _time_step(hstep, hparams, hopt, steps, jax.random.PRNGKey(2))

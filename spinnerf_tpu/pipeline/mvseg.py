@@ -2,7 +2,8 @@
 
 The reference runs a forked semantic NeRF program (`MVSeg/DS_NeRF/run_nerf.py`)
 whose render modes produce per-view masks:
-  render_mask  : binary sigmoid(prob) * acc > 0.5 images (`run_nerf.py:195`)
+  render_mask  : binary object-mask images (`run_nerf.py:198-201`; here
+                 acc-gated — see render_masks for the documented deviation)
   post_opening : 3x3 morphological opening cleanup (`--post_opening`)
   mask_filter  : white-out everything outside the object
   only_object  : delete the object and composite a random background
@@ -48,10 +49,12 @@ def render_masks(trainer, poses, *, threshold: float = 0.5,
     out = []
     for i, c2w in enumerate(poses):
         maps = renderer(jax.random.PRNGKey(i), jnp.asarray(c2w))
-        # sigmoid(prob) * acc > threshold — the acc factor is load-bearing
-        # (`MVSeg run_nerf.py:195`): empty rays (acc ~ 0) have a composited
-        # logit near 0, i.e. sigmoid ~ 0.5, and would otherwise flip half
-        # the background to "object" on noise sign alone
+        # sigmoid(prob) * acc > threshold. DELIBERATE deviation from the
+        # reference's render_mask branch (`MVSeg run_nerf.py:198-201`,
+        # sigmoid only): empty rays (acc ~ 0) composite a logit near 0,
+        # i.e. sigmoid ~ 0.5, and an ungated threshold flips them to
+        # "object" on noise sign alone. The acc gate is the reference's own
+        # recipe from its mask_filter branch (`run_nerf.py:195`).
         p = 1.0 / (1.0 + np.exp(-np.asarray(maps["prob"])))
         m = (p * np.asarray(maps["acc"]) > threshold).astype(np.float32)
         if opening:
