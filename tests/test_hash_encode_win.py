@@ -188,6 +188,28 @@ def test_corner_indices_collision_free_when_morton_fits():
     assert n_idx > 0.97 * n_cells, (n_idx, n_cells)
 
 
+def test_minimum_table_is_one_full_window():
+    """t = 2*PAGE_ENTRIES: the whole table is the (only) window — pages all
+    zero, no aliasing possible, kernel equals a plain dense lookup."""
+    rng = np.random.RandomState(9)
+    l, n = 2, hw._B
+    t = 2 * hw.PAGE_ENTRIES
+    table = jnp.asarray(rng.randn(l, t, 2).astype(np.float32))
+    idx = jnp.asarray(rng.randint(0, t, (l, 8, n)).astype(np.int32))
+    w = jnp.asarray(rng.rand(l, 8, n).astype(np.float32))
+    pages, off = hw.window_offsets(idx, t)
+    assert int(jnp.abs(pages).max()) == 0
+    np.testing.assert_array_equal(np.asarray(off), np.asarray(idx))
+    out_k = hw.hash_encode_win(table, idx, w, pages, True)
+    # dense reference: straight table lookup, no window semantics
+    feats = np.asarray(table)[np.arange(l)[:, None, None],
+                              np.asarray(idx)]          # [L, 8, N, 2]
+    want = (feats * np.asarray(w)[..., None]).sum(1)    # [L, N, 2]
+    want = want.transpose(1, 0, 2).reshape(n, l * 2)
+    scale = np.abs(want).max()
+    assert float(jnp.abs(out_k - want).max()) < 0.02 * scale
+
+
 def test_hashgrid_encoding_win_xla_impl():
     """The model's impl="win_xla" path runs end-to-end on CPU."""
     from spinnerf_tpu.models.hashgrid import HashGridEncoding
