@@ -38,6 +38,10 @@ REPO = Path(__file__).resolve().parents[2]
 # config.txt`) at tiny-CPU scale: stage-3 "prepare" semantics.
 COMMON_FLAGS = [
     "--dataset_type", "llff", "--factor", "2",
+    # pass explicitly: the reference's argparse default is False while ours
+    # is True (the scene configs set True, `DS_NeRF/configs/config.txt:15`);
+    # leaving it implicit compared different models under "the same flags"
+    "--use_viewdirs",
     "--no_tcnn", "--no_ndc", "--lindisp", "--white_bkgd",
     "--colmap_depth", "--depth_loss", "--depth_lambda", "0.1",
     "--N_rand", "128", "--N_samples", "32", "--N_importance", "32",
