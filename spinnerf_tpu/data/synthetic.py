@@ -97,7 +97,8 @@ def render_view(c2w, h, w, focal, with_ball=True):
 def make_scene(out_dir, *, n_views: int = 10, h: int = 80, w: int = 100,
                focal: float | None = None, factor: int = 1,
                n_points: int = 600, seed: int = 0,
-               mask_views=None, gt_mask_subdir: str | None = None):
+               mask_views=None, gt_mask_subdir: str | None = None,
+               n_gt: int = 0):
     """Generate and write the scene. Returns the scene dir Path.
 
     Args:
@@ -105,6 +106,11 @@ def make_scene(out_dir, *, n_views: int = 10, h: int = 80, w: int = 100,
         the MVSeg bootstrap setting (sparse initial masks to be lifted).
       gt_mask_subdir: additionally write ALL views' exact object masks into
         this subdir (e.g. "label_full") for IoU evaluation.
+      n_gt: the first `n_gt` views are written WITHOUT the object — the
+        SPIn-NeRF quantitative-dataset contract (`README.md:27-31`,
+        `run_nerf.py:1018-1023`): N_gt object-removed GT views come first
+        and become the test set. Their `label/` masks still mark where the
+        object WOULD be, so masked-region metrics know the hole.
     """
     import cv2
     rng = np.random.RandomState(seed)
@@ -133,19 +139,23 @@ def make_scene(out_dir, *, n_views: int = 10, h: int = 80, w: int = 100,
         name = f"view{v:03d}.png"
         names.append(name)
 
-        rgb, t, hit = render_view(c2w, h, w, focal, with_ball=True)
+        is_gt = v < n_gt  # object-removed GT view (test set)
+        rgb, t, hit = render_view(c2w, h, w, focal, with_ball=not is_gt)
         cv2.imwrite(str(img_dir / name),
                     cv2.cvtColor((rgb * 255).astype(np.uint8),
                                  cv2.COLOR_RGB2BGR))
-        rgb_f, t_f, hit_f = render_view(c2w, hh, ww, ff, with_ball=True)
+        rgb_ball, t_ball, hit_f = render_view(c2w, hh, ww, ff, with_ball=True)
+        rgb_nb, t_nb, _ = render_view(c2w, hh, ww, ff, with_ball=False)
+        rgb_f, t_f = (rgb_nb, t_nb) if is_gt else (rgb_ball, t_ball)
         cv2.imwrite(str(fdir / name),
                     cv2.cvtColor((rgb_f * 255).astype(np.uint8),
                                  cv2.COLOR_RGB2BGR))
-        rgb_nb, t_nb, _ = render_view(c2w, hh, ww, ff, with_ball=False)
         cv2.imwrite(str(lama_dir / name),
                     cv2.cvtColor((rgb_nb * 255).astype(np.uint8),
                                  cv2.COLOR_RGB2BGR))
-        if mask_views is None or v in mask_views:
+        # GT views always carry the would-be-object mask (masked metrics
+        # need the hole); training views follow the mask_views sparsity.
+        if is_gt or mask_views is None or v in mask_views:
             cv2.imwrite(str(label_dir / name),
                         (hit_f * 255).astype(np.uint8))
         if gt_mask_subdir is not None:

@@ -156,15 +156,31 @@ def stage_eval(cfg: Config, trainer, *, log=print):
 def run_pipeline(cfg: Config, *, mvseg_iters=None, prepare_iters=None,
                  fit_iters=None, lama_checkpoint=None, refine=True,
                  skip_mvseg=False, log=print):
-    """Run the full scene pipeline. Returns the final fit Trainer + metrics."""
+    """Run the full scene pipeline. Returns the final fit Trainer + metrics.
+
+    `pipeline_results.json` additionally records per-stage wall-clock
+    seconds under `stage_seconds` (the reference's three separately-launched
+    programs have no such end-to-end accounting)."""
     import json
+    import time
+    timings: dict[str, float] = {}
+
+    def _timed(name, fn, *a, **kw):
+        t0 = time.perf_counter()
+        out = fn(*a, **kw)
+        timings[name] = round(time.perf_counter() - t0, 2)
+        log(f"[pipeline] stage {name}: {timings[name]:.1f}s")
+        return out
+
     if not skip_mvseg:
-        stage_mvseg(cfg, n_iters=mvseg_iters, log=log)
-    lama_in = stage_prepare(cfg, n_iters=prepare_iters, log=log)
-    stage_inpaint_guidance(cfg, lama_in, checkpoint_path=lama_checkpoint,
-                           refine=refine, log=log)
-    trainer = stage_fit(cfg, n_iters=fit_iters, log=log)
-    results = stage_eval(cfg, trainer, log=log)
+        _timed("mvseg", stage_mvseg, cfg, n_iters=mvseg_iters, log=log)
+    lama_in = _timed("prepare", stage_prepare, cfg,
+                     n_iters=prepare_iters, log=log)
+    _timed("inpaint_guidance", stage_inpaint_guidance, cfg, lama_in,
+           checkpoint_path=lama_checkpoint, refine=refine, log=log)
+    trainer = _timed("fit", stage_fit, cfg, n_iters=fit_iters, log=log)
+    results = _timed("eval", stage_eval, cfg, trainer, log=log)
+    results["stage_seconds"] = timings
     out = Path(cfg.basedir) / cfg.expname / "pipeline_results.json"
     out.parent.mkdir(parents=True, exist_ok=True)
     with open(out, "w") as f:

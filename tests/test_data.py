@@ -123,3 +123,30 @@ def test_train_test_split_ngt():
     assert set(i_test) == set(range(40))
     i_train, i_test = llff.train_test_split(100, n_gt=40, train_gt=True)
     assert len(i_train) == 40 and len(i_test) == 100
+
+
+def test_make_scene_n_gt_object_removed_views(tmp_path):
+    """n_gt writes the SPIn-NeRF quantitative layout (`README.md:27-31`):
+    the first n_gt views are object-removed GT photographs (no ball pixels
+    differ from the lama_images analytic no-ball render), yet still carry a
+    label/ hole mask; training views keep the object."""
+    import cv2
+    d = synthetic.make_scene(tmp_path / "s", n_views=6, h=40, w=50,
+                             factor=1, n_gt=2, mask_views=[2, 4])
+    img = cv2.imread(str(d / "images" / "view000.png"))
+    nb = cv2.imread(str(d / "images" / "lama_images" / "view000.png"))
+    assert np.array_equal(img, nb)           # GT view == object-removed
+    img3 = cv2.imread(str(d / "images" / "view002.png"))
+    nb3 = cv2.imread(str(d / "images" / "lama_images" / "view002.png"))
+    assert not np.array_equal(img3, nb3)     # training view keeps the ball
+    # GT views always get a hole mask; training masks follow mask_views
+    labels = {p.name for p in (d / "images" / "label").iterdir()}
+    assert {"view000.png", "view001.png", "view002.png",
+            "view004.png"} == labels
+    m0 = cv2.imread(str(d / "images" / "label" / "view000.png"), 0)
+    assert m0.max() == 255 and m0.min() == 0  # a real hole, not empty
+
+    # the loader's N_gt split then makes these the test set
+    scene = llff.load_scene(d, factor=1)
+    i_train, i_test = llff.train_test_split(len(scene.images), n_gt=2)
+    assert list(i_test) == [0, 1] and list(i_train) == [2, 3, 4, 5]

@@ -55,3 +55,7 @@ def test_full_pipeline_smoke(tmp_path):
 
     out = tmp_path / "logs" / "pipe" / "pipeline_results.json"
     assert json.loads(out.read_text())["summary"] == results["summary"]
+    # every stage reports its wall-clock
+    assert set(results["stage_seconds"]) == {
+        "mvseg", "prepare", "inpaint_guidance", "fit", "eval"}
+    assert all(t >= 0 for t in results["stage_seconds"].values())

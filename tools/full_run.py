@@ -1,0 +1,125 @@
+"""Realistic-scale full-pipeline run (reference schedules, per-stage timing).
+
+Generates a statue-demo-scale synthetic scene — 100 views (40 object-removed
+GT test views first + 60 training views, the paper's quantitative protocol,
+`README.md:27-31`) at full-res 2016x1134, trained at factor 2 (1008x567, the
+statue demo's resolution class) — and runs all 7 pipeline stages under the
+reference's published budgets:
+
+  MVSeg    N_iters=4000             (`MVSeg/DS_NeRF/configs/mv_config.txt`)
+  prepare  N_iters=4001, i_feat=4000 (`README.md:65`)
+  LaMa     refine=True              (`README.md:80`)
+  fit      N_iters=10001, --lpips, i_feat=200 (`README.md:140`)
+  eval     PSNR/SSIM/LPIPS + masked PSNR (`DS_NeRF/eval_metrics_script.py`)
+
+Writes FULLRUN.json at the repo root with per-stage wall-clock and final
+metrics. Flags:
+
+  --model {mlp,hashgrid}  field family: the fused-Pallas MLP flagship
+                          (reference `--no_tcnn` path) or the hash-grid at
+                          the reference default 2^19 table.
+  --iters-scale S         divide every stage budget by S (smoke runs).
+  --views N --gt N        override view counts.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", choices=("mlp", "hashgrid"), default="mlp")
+    ap.add_argument("--iters-scale", type=float, default=1.0)
+    ap.add_argument("--views", type=int, default=100)
+    ap.add_argument("--gt", type=int, default=40)
+    ap.add_argument("--h", type=int, default=1134)
+    ap.add_argument("--w", type=int, default=2016)
+    ap.add_argument("--factor", type=int, default=2)
+    ap.add_argument("--workdir", default="/tmp/spinnerf_fullrun")
+    ap.add_argument("--out", default="FULLRUN.json")
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny model + no LaMa refine (driver plumbing test)")
+    args = ap.parse_args(argv)
+
+    from spinnerf_tpu.config import Config
+    from spinnerf_tpu.data import synthetic
+    from spinnerf_tpu.pipeline import stages
+
+    work = Path(args.workdir)
+    t0 = time.perf_counter()
+    scene_dir = work / "scene"
+    if not (scene_dir / "poses_bounds.npy").exists():
+        print(f"[fullrun] generating {args.views}-view scene "
+              f"({args.h}x{args.w}, factor {args.factor})", flush=True)
+        # sparse initial masks on 6 of the 60 training views (MVSeg lifts
+        # the rest); first --gt views are object-removed GT.
+        train0 = args.gt
+        mask_views = list(range(train0, args.views,
+                                max(1, (args.views - train0) // 6)))
+        synthetic.make_scene(
+            scene_dir, n_views=args.views, h=args.h, w=args.w,
+            factor=args.factor, n_gt=args.gt, n_points=3000,
+            mask_views=mask_views, gt_mask_subdir="label_full")
+        import shutil
+        # the pipeline must recreate the guidance products itself
+        fdir = scene_dir / (f"images_{args.factor}"
+                            if args.factor != 1 else "images")
+        shutil.rmtree(fdir / "lama_images")
+        shutil.rmtree(fdir / "depth")
+    gen_s = round(time.perf_counter() - t0, 1)
+    print(f"[fullrun] scene ready in {gen_s}s", flush=True)
+
+    s = args.iters_scale
+    cfg = Config(
+        # DS_NeRF/configs/config.txt verbatim (statue demo: factor 2)
+        expname="fullrun", basedir=str(work / "logs"),
+        datadir=str(scene_dir), dataset_type="llff",
+        N_gt=args.gt, factor=args.factor,
+        N_rand=1024, N_samples=64, N_importance=64,
+        use_viewdirs=True, raw_noise_std=1.0,
+        colmap_depth=True, depth_loss=True, depth_lambda=0.1,
+        no_ndc=True, lindisp=True, render_factor=1,
+        i_feat=200, feat_weight=0.1, lrate=0.03, lrate_decay=10,
+        white_bkgd=True,
+        # stage-command flags (README.md:65,140): no checkpoint/video dumps
+        i_weights=0, i_video=0, i_testset=0, i_print=500,
+        no_tcnn=(args.model == "mlp"),
+        lpips_batch_size=4,
+    )
+    if args.smoke:
+        from dataclasses import replace as dc_replace
+        cfg = dc_replace(cfg, netdepth=2, netwidth=32, netdepth_fine=2,
+                         netwidth_fine=32, multires=4, multires_views=2,
+                         N_samples=8, N_importance=4, N_rand=64, chunk=2048,
+                         lpips_render_factor=2, patch_len_factor=2,
+                         lpips_batch_size=1, compute_dtype="float32")
+    trainer, results = stages.run_pipeline(
+        cfg,
+        mvseg_iters=max(2, int(4000 / s)),
+        prepare_iters=max(2, int(4001 / s)),
+        fit_iters=max(2, int(10001 / s)),
+        refine=not args.smoke)
+
+    results["config"] = {
+        "model": args.model, "views": args.views, "n_gt": args.gt,
+        "train_res": [args.h // args.factor, args.w // args.factor],
+        "iters": {"mvseg": max(2, int(4000 / s)),
+                  "prepare": max(2, int(4001 / s)),
+                  "fit": max(2, int(10001 / s))},
+        "scene_gen_seconds": gen_s,
+        "device": str(__import__("jax").devices()[0].device_kind),
+    }
+    results.pop("per_view", None)
+    Path(args.out).write_text(json.dumps(results, indent=2))
+    print(json.dumps({k: results[k] for k in
+                      ("summary", "stage_seconds", "config")}, indent=2))
+
+
+if __name__ == "__main__":
+    sys.exit(main())
