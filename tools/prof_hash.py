@@ -12,15 +12,27 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _sync(out):
+    # block_until_ready is a no-op over the axon relay backend; the only
+    # reliable sync is a host fetch. Fetch one scalar from the first leaf.
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(jax.device_get(leaf.ravel()[0]))
+
+
 def t(fn, *args, n=20, warmup=3):
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / n * 1000  # ms
+    # queued calls serialize on the single device stream; one fetch at the
+    # end costs one relay RTT (~25 ms), amortized over n
+    _sync(out)
+    rtt_t0 = time.perf_counter()
+    _sync(out)
+    rtt = time.perf_counter() - rtt_t0
+    return max(0.0, (rtt_t0 - t0 - rtt)) / n * 1000  # ms
 
 
 def main():
