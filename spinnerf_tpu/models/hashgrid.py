@@ -170,6 +170,11 @@ class HashGridEncoding(nn.Module):
 
 class HashGridField(nn.Module):
     """Hash-grid NeRF: encoder + tiny sigma/color MLPs (NeRF_TCNN parity)."""
+    # opt out of the trainer's scan-of-remat chunking: each chunk's backward
+    # materializes a gradient for the whole hash table, so chunking multiplies
+    # table-grad HBM writes (and the per-chunk Z-sort) by the chunk count
+    # (`train/step.py::_apply`; measured 3.8x step slowdown at 2^19)
+    scan_chunk_exempt = True
     bound: float = 100.0
     n_levels: int = 16
     features: int = 2

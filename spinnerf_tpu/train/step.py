@@ -153,7 +153,13 @@ def make_train_step(model, cfg: TrainConfig, bank: raybank.RayBank,
         # scan-of-remat graphs are slower and have crashed XLA:CPU.
         # Fused-kernel fields do their own in-VMEM rematerialization —
         # scan-chunking them only adds launch overhead.
-        if getattr(mod, "is_fused", False):
+        # Table-backed fields (hash grids) are exempt too: every chunk's
+        # backward accumulates a gradient for the FULL [L, T, F] table
+        # (64 MB at 2^19), so a 32-chunk scan writes 32 full tables plus
+        # re-pays the per-chunk Z-sort/prep — measured 357.9 -> 93.1
+        # ms/step at log2_T=19 on v5e when the scan is skipped.
+        if getattr(mod, "is_fused", False) or getattr(
+                mod, "scan_chunk_exempt", False):
             return _raw(mod, p, pts, vd)
         n = pts.shape[0]
         if cfg.netchunk and c >= 1 and n > cfg.netchunk * max(c, 1):
