@@ -180,7 +180,16 @@ def load_lpips(vgg_weights_path=None, lin_weights_path=None, *,
     else:
         lin = [jnp.full((c,), 1.0 / c) for c in FEATURE_CHANNELS]
 
+    def pure(consts, x, y):
+        vp, lw = consts
+        return lpips_distance(vgg, vp, lw, x, y)
+
     def fn(x, y):
         return lpips_distance(vgg, vgg_params, lin, x, y)
 
+    # `.pure`/`.consts`: the weight arrays can ride through an enclosing jit
+    # as arguments instead of ~60 MB of embedded VGG constants (the
+    # `make_train_step` consts convention)
+    fn.pure = pure
+    fn.consts = (vgg_params, tuple(lin))
     return fn

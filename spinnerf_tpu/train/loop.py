@@ -198,8 +198,11 @@ class Trainer:
                                          mesh_lib.replicated(self.mesh))
             fkey = "fine" if "fine" in fparams else "coarse"
 
-            def frozen_raw_fn(pts, vd, _p=fparams[fkey]):
-                return self.model.apply(_p, pts, vd)
+            def frozen_raw_fn(p, pts, vd):
+                return self.model.apply(p, pts, vd)
+            # params flow through jit as arguments (`make_train_step`'s
+            # consts convention), not embedded constants
+            frozen_raw_fn.consts = fparams[fkey]
         self.step_fn = make_train_step(self.model, self.tcfg, self.bank,
                                        self.tx, mesh=self.mesh,
                                        lpips_fn=lpips_fn,

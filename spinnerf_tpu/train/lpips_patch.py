@@ -64,7 +64,6 @@ def make_patch_lpips_fn(model, scene, i_train, *, lpips,
     # area-downsample targets to the render resolution
     small = imgs[:, :hh * rf, :ww * rf].reshape(len(i_train), hh, rf, ww, rf, 3)
     small = small.mean(axis=(2, 4)).astype(np.float32)
-    targets = jnp.asarray(small)                       # [N, hh, ww, 3]
 
     boxes = mask_bboxes(scene.masks[i_train], rf)
     # clamp anchors so the patch fits in-frame
@@ -72,10 +71,18 @@ def make_patch_lpips_fn(model, scene, i_train, *, lpips,
                    np.clip(boxes[:, 2], 0, ww - pw)], -1)
     hi = np.stack([np.clip(boxes[:, 1] - ph, lo[:, 0], hh - ph),
                    np.clip(boxes[:, 3] - pw, lo[:, 1], ww - pw)], -1)
-    lo_j = jnp.asarray(lo)
-    hi_j = jnp.asarray(hi)
-    poses = jnp.asarray(scene.poses[i_train])
     n_views = len(i_train)
+
+    # every device array rides through jit as an argument via `.consts`
+    # (`make_train_step`'s convention) — targets are full training images,
+    # which as closed-over constants bloat the serialized compile payload
+    consts = {
+        "targets": jnp.asarray(small),                 # [N, hh, ww, 3]
+        "lo": jnp.asarray(lo), "hi": jnp.asarray(hi),
+        "poses": jnp.asarray(scene.poses[i_train]),
+        "lpips": getattr(lpips, "consts", None),
+    }
+    lpips_pure = getattr(lpips, "pure", None)
 
     # patches render without sampling jitter or density noise (test-mode
     # kwargs in the reference, `run_nerf.py:1540-1549`) and with detached
@@ -85,18 +92,18 @@ def make_patch_lpips_fn(model, scene, i_train, *, lpips,
     rows = jnp.arange(ph)
     cols = jnp.arange(pw)
 
-    def render_patch(params, key, view_idx):
+    def render_patch(c, params, key, view_idx):
         k_anchor, k_render = jax.random.split(key)
         u = jax.random.uniform(k_anchor, (2,))
-        anchor = (lo_j[view_idx] +
-                  u * (hi_j[view_idx] - lo_j[view_idx] + 1)).astype(jnp.int32)
+        lo_v, hi_v = c["lo"][view_idx], c["hi"][view_idx]
+        anchor = (lo_v + u * (hi_v - lo_v + 1)).astype(jnp.int32)
         r0, c0 = anchor[0], anchor[1]
         rr = (r0 + rows)[:, None] * jnp.ones((1, pw))
         cc = (c0 + cols)[None, :] * jnp.ones((ph, 1))
         x = cc.reshape(-1).astype(jnp.float32)
         y = rr.reshape(-1).astype(jnp.float32)
 
-        c2w = poses[view_idx]
+        c2w = c["poses"][view_idx]
         dirs = jnp.stack([(x - ww * 0.5) / ff, -(y - hh * 0.5) / ff,
                           -jnp.ones_like(x)], -1)
         rays_d = dirs @ c2w[:3, :3].T
@@ -118,11 +125,11 @@ def make_patch_lpips_fn(model, scene, i_train, *, lpips,
         res = rendering.render_rays(k_render, batch, coarse, rcfg,
                                     fine_field_fn=fine)
         pred = res.fine.rgb_sg.reshape(ph, pw, 3)
-        tgt = jax.lax.dynamic_slice(targets[view_idx], (r0, c0, 0),
+        tgt = jax.lax.dynamic_slice(c["targets"][view_idx], (r0, c0, 0),
                                     (ph, pw, 3))
         return pred, tgt
 
-    def lpips_fn(params, key):
+    def lpips_fn(c, params, key):
         # NOTE: deliberately a trace-unrolled loop. A fused single-render
         # variant (all patches as one ray batch) was measured 9% SLOWER in
         # steady state on v5e (16.0 vs 17.5 it/s at the stage-5 config)
@@ -132,12 +139,15 @@ def make_patch_lpips_fn(model, scene, i_train, *, lpips,
         views = jax.random.permutation(keys[0], n_views)[:batch_size]
         preds, tgts = [], []
         for i in range(batch_size):
-            p, t = render_patch(params, keys[i + 1], views[i % n_views])
+            p, t = render_patch(c, params, keys[i + 1], views[i % n_views])
             preds.append(p)
             tgts.append(t)
         pred = jnp.stack(preds)
         tgt = jnp.stack(tgts)
+        if lpips_pure is not None:
+            return jnp.mean(lpips_pure(c["lpips"], pred, tgt)) * weight
         return jnp.mean(lpips(pred, tgt)) * weight
 
     lpips_fn.start_iter = start_iter
+    lpips_fn.consts = consts
     return lpips_fn

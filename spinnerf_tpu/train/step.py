@@ -118,14 +118,21 @@ def make_train_step(model, cfg: TrainConfig, bank: raybank.RayBank,
     Args:
       model: a field module (`models.fields.NeRFField`-compatible apply).
       cfg: static TrainConfig.
-      bank: RayBank (device arrays; becomes a jit argument via its pytree).
+      bank: RayBank (device arrays; passed through jit as a real argument —
+        NEVER closed over. A closed-over bank is lowered as embedded module
+        constants, which at statue scale (~GBs of images + index groups)
+        blows up the serialized compile payload.)
       tx: optax optimizer (use `schedule.make_optimizer`).
       mesh: optional `jax.sharding.Mesh` for ray-batch data parallelism.
       lpips_fn: optional callable(params, key) -> scalar patch-LPIPS loss,
-        traced into the same step when given.
+        traced into the same step when given. If it carries a `.consts`
+        pytree of device arrays, it is called as `lpips_fn(consts, params,
+        key)` and the consts ride through jit as arguments (same payload
+        concern: LPIPS targets are full training images).
       frozen_raw_fn: optional frozen field `(pts, vd) -> raw`; its density
         (stop-gradiented) replaces the trained field's sigma — the NeRF_RGB /
-        --alpha_model_path mode (`run_nerf_helpers.py:159-216`).
+        --alpha_model_path mode (`run_nerf_helpers.py:159-216`). Same
+        optional `.consts` convention: called as `(consts, pts, vd)`.
       fine_model: optional separately-sized module for the fine pass
         (`--netdepth_fine/--netwidth_fine`, `run_nerf.py:417-420`); defaults
         to `model`.
@@ -141,43 +148,54 @@ def make_train_step(model, cfg: TrainConfig, bank: raybank.RayBank,
 
     fine_mod = fine_model if fine_model is not None else model
 
-    def _raw(mod, p, pts, vd):
-        if frozen_raw_fn is None:
-            return mod.apply(p, pts, vd)
-        frozen = jax.lax.stop_gradient(frozen_raw_fn(pts, vd)[..., 3:4])
-        return mod.apply(p, pts, vd, frozen_sigma=frozen)
+    # device arrays carried by the optional callables ride through jit as
+    # arguments instead of being traced in as embedded constants
+    lp_consts = getattr(lpips_fn, "consts", None)
+    fr_consts = getattr(frozen_raw_fn, "consts", None)
 
-    def _apply(mod, p, pts, vd):
-        c = cfg.remat_chunks
-        # engage only when chunks stay big enough to fill the MXU; tiny
-        # scan-of-remat graphs are slower and have crashed XLA:CPU.
-        # Fused-kernel fields do their own in-VMEM rematerialization —
-        # scan-chunking them only adds launch overhead.
-        # Table-backed fields (hash grids) are exempt too: every chunk's
-        # backward accumulates a gradient for the FULL [L, T, F] table
-        # (64 MB at 2^19), so a 32-chunk scan writes 32 full tables plus
-        # re-pays the per-chunk Z-sort/prep — measured 357.9 -> 93.1
-        # ms/step at log2_T=19 on v5e when the scan is skipped.
-        if getattr(mod, "is_fused", False) or getattr(
-                mod, "scan_chunk_exempt", False):
-            return _raw(mod, p, pts, vd)
-        n = pts.shape[0]
-        if cfg.netchunk and c >= 1 and n > cfg.netchunk * max(c, 1):
-            # --netchunk bounds points per network eval: raise the chunk
-            # count to the next divisor of n that honours it
-            c = max(c, -(-n // cfg.netchunk))
-            while n % c != 0 and c < n:
-                c += 1
-        if c <= 1 or pts.shape[0] % c != 0 or pts.shape[0] // c < 64:
-            return _raw(mod, p, pts, vd)
-        ck = jax.checkpoint(lambda p_, x, d: _raw(mod, p_, x, d))
-        b = pts.shape[0]
-        xs = pts.reshape(c, b // c, *pts.shape[1:])
-        ds = vd.reshape(c, b // c, vd.shape[-1])
-        out = jax.lax.map(lambda xd: ck(p, xd[0], xd[1]), (xs, ds))
-        return out.reshape(b, *out.shape[2:])
+    def _make_raw(fr_c):
+        def _raw(mod, p, pts, vd):
+            if frozen_raw_fn is None:
+                return mod.apply(p, pts, vd)
+            raw = (frozen_raw_fn(fr_c, pts, vd) if fr_c is not None
+                   else frozen_raw_fn(pts, vd))
+            frozen = jax.lax.stop_gradient(raw[..., 3:4])
+            return mod.apply(p, pts, vd, frozen_sigma=frozen)
+        return _raw
 
-    def field_fns(params):
+    def _make_apply(_raw):
+        def _apply(mod, p, pts, vd):
+            c = cfg.remat_chunks
+            # engage only when chunks stay big enough to fill the MXU; tiny
+            # scan-of-remat graphs are slower and have crashed XLA:CPU.
+            # Fused-kernel fields do their own in-VMEM rematerialization —
+            # scan-chunking them only adds launch overhead.
+            # Table-backed fields (hash grids) are exempt too: every chunk's
+            # backward accumulates a gradient for the FULL [L, T, F] table
+            # (64 MB at 2^19), so a 32-chunk scan writes 32 full tables plus
+            # re-pays the per-chunk Z-sort/prep — measured 357.9 -> 93.1
+            # ms/step at log2_T=19 on v5e when the scan is skipped.
+            if getattr(mod, "is_fused", False) or getattr(
+                    mod, "scan_chunk_exempt", False):
+                return _raw(mod, p, pts, vd)
+            n = pts.shape[0]
+            if cfg.netchunk and c >= 1 and n > cfg.netchunk * max(c, 1):
+                # --netchunk bounds points per network eval: raise the chunk
+                # count to the next divisor of n that honours it
+                c = max(c, -(-n // cfg.netchunk))
+                while n % c != 0 and c < n:
+                    c += 1
+            if c <= 1 or pts.shape[0] % c != 0 or pts.shape[0] // c < 64:
+                return _raw(mod, p, pts, vd)
+            ck = jax.checkpoint(lambda p_, x, d: _raw(mod, p_, x, d))
+            b = pts.shape[0]
+            xs = pts.reshape(c, b // c, *pts.shape[1:])
+            ds = vd.reshape(c, b // c, vd.shape[-1])
+            out = jax.lax.map(lambda xd: ck(p, xd[0], xd[1]), (xs, ds))
+            return out.reshape(b, *out.shape[2:])
+        return _apply
+
+    def field_fns(_apply, params):
         def coarse(pts, vd):
             return _apply(model, params["coarse"], pts, vd)
 
@@ -188,7 +206,9 @@ def make_train_step(model, cfg: TrainConfig, bank: raybank.RayBank,
             return _apply(fine_mod, params["fine"], pts, vd)
         return coarse, fine
 
-    def loss_fn(params, key, step_idx):
+    def loss_fn(params, bank, ext, key, step_idx):
+        lp_c, fr_c = ext
+        _apply = _make_apply(_make_raw(fr_c))
         keys = jax.random.split(key, len(groups) + 3)
         k_render, k_depth, k_lpips = keys[-3], keys[-2], keys[-1]
 
@@ -214,7 +234,7 @@ def make_train_step(model, cfg: TrainConfig, bank: raybank.RayBank,
         if mesh is not None:
             fused = mesh_lib.shard_batch(fused, mesh)
 
-        coarse_fn, fine_fn = field_fns(params)
+        coarse_fn, fine_fn = field_fns(_apply, params)
         res = rendering.render_rays(k_render, fused, coarse_fn, rcfg,
                                     fine_field_fn=fine_fn)
         fine, coarse = res.fine, res.coarse
@@ -312,7 +332,8 @@ def make_train_step(model, cfg: TrainConfig, bank: raybank.RayBank,
             metrics["distortion"] = dist
 
         if lpips_fn is not None:
-            lp = lpips_fn(params, k_lpips)
+            lp = (lpips_fn(lp_c, params, k_lpips) if lp_c is not None
+                  else lpips_fn(params, k_lpips))
             # the reference enables the perceptual term after iter 300
             # (`run_nerf.py:1523`); gate smoothly with a 0/1 factor so the
             # graph stays static.
@@ -325,14 +346,21 @@ def make_train_step(model, cfg: TrainConfig, bank: raybank.RayBank,
         metrics["loss"] = loss
         return loss, metrics
 
-    def train_step(params, opt_state, key, step_idx):
+    def train_step(params, opt_state, bank, ext, key, step_idx):
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, key, step_idx)
+            params, bank, ext, key, step_idx)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, metrics
 
-    return jax.jit(train_step, donate_argnums=(0, 1))
+    jitted = jax.jit(train_step, donate_argnums=(0, 1))
+
+    def step(params, opt_state, key, step_idx):
+        return jitted(params, opt_state, bank, (lp_consts, fr_consts),
+                      key, step_idx)
+
+    step.jitted = jitted     # the underlying jit fn, for lowering inspection
+    return step
 
 
 def init_params(model, key, *, share_coarse_fine: bool = False,
