@@ -10,7 +10,9 @@ line's required keys are metric/value/unit/vs_baseline (flagship rays/s);
                            flagship step (XLA cost_analysis FLOPs / wall)
   step_ms                  flagship step wall-clock
   hashgrid14_rays_per_sec  hash-grid field step, log2_hashmap_size=14
-                           (dense one-hot MXU encode, ops/hash_encode.py)
+                           (impl="auto": windowed encode since round 3 —
+                           it beats the dense one-hot kernel at any table
+                           over one window)
   hashgrid19_rays_per_sec  hash-grid field step at the reference default
                            2^19 (`DS_NeRF/run_nerf_helpers_tcnn.py:24`),
                            via the Z-curve windowed encode
@@ -135,16 +137,29 @@ def main():
         extra["mfu"] = round(flops / dt / _peak_flops(jax.devices()[0]), 4)
         extra["step_tflops"] = round(flops / 1e12, 4)
 
-    # --- hash-grid field (reference default model): the dense-kernel size
-    # (2^14, O(T)/point one-hot encode) and the reference-default 2^19
-    # (Z-curve windowed encode — see module docstring).
+    # --- hash-grid field (reference default model): a mid-size table (2^14)
+    # and the reference-default 2^19, both through impl="auto" (the Z-curve
+    # windowed encode — see module docstring).
     from spinnerf_tpu.models.hashgrid import HashGridField
-    for log2t, steps in ((14, 20), (19, 10)) if on_tpu else ((14, 3),):
+    for log2t, steps in ((14, 50), (19, 50)) if on_tpu else ((14, 3),):
         hstep, hparams, hopt = build_step(
             HashGridField(log2_table_size=log2t))
         hdt, _ = _time_step(hstep, hparams, hopt, steps, jax.random.PRNGKey(2))
         extra[f"hashgrid{log2t}_rays_per_sec"] = round(rays_per_step / hdt, 1)
         extra[f"hashgrid{log2t}_step_ms"] = round(hdt * 1000, 1)
+        if log2t == 19 and on_tpu:
+            # hashgrid MFU: issued-matmul utilization. Almost all MXU work
+            # is the windowed one-hot GATHER formulation (per point-corner-
+            # level: a [128,64]x[64,B] row gather => 128*64 MACs), not the
+            # tiny MLP heads — so this measures how hard the encode drives
+            # the MXU, not algorithmic efficiency. fwd per point:
+            # 8 corners * L levels * 8192 MACs; training ~= 3x fwd
+            # (fwd + bwd one-hot matmul + cotangent build).
+            gather_macs = 8 * 16 * 128 * 64
+            mlp_macs = (32 * 64 + 64 * 16) + (31 * 64 + 64 * 64 + 64 * 3)
+            hflops = 3 * 2 * (gather_macs + mlp_macs) * pts_per_step
+            extra["hashgrid19_mfu"] = round(
+                hflops / hdt / _peak_flops(jax.devices()[0]), 4)
 
     baseline = 25000.0  # est. reference A6000 target-rays/s (see docstring)
     print(json.dumps({

@@ -107,9 +107,9 @@ def make_scene(out_dir, *, n_views: int = 10, h: int = 80, w: int = 100,
       gt_mask_subdir: additionally write ALL views' exact object masks into
         this subdir (e.g. "label_full") for IoU evaluation.
       n_gt: the first `n_gt` views are written WITHOUT the object — the
-        SPIn-NeRF quantitative-dataset contract (`README.md:27-31`,
-        `run_nerf.py:1018-1023`): N_gt object-removed GT views come first
-        and become the test set. Their `label/` masks still mark where the
+        SPIn-NeRF quantitative-dataset contract (the paper's protocol as
+        implemented by the split logic at `run_nerf.py:1018-1023`): N_gt
+        object-removed GT views come first and become the test set. Their `label/` masks still mark where the
         object WOULD be, so masked-region metrics know the hole.
     """
     import cv2

@@ -61,6 +61,11 @@ def eval_dirs(argv=None) -> int:
         }
         if lpips_fn is not None:
             row["lpips"] = float(lpips_fn(pred, gt))
+            if mask is not None:
+                # masked LPIPS (paper inpainting protocol): composite GT
+                # outside the mask so only the hole region contributes
+                comp = pred * mask[..., None] + gt * (1.0 - mask[..., None])
+                row["masked_lpips"] = float(lpips_fn(comp, gt))
         rows.append(row)
 
     summary = {}

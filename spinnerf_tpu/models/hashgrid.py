@@ -17,12 +17,12 @@ TPU design notes:
   XLA lowers the corner gather and the scatter-add backward to *serialized*
   loops (~665 ms fwd, ~8 s fwd+bwd, flat in table size) — the classic
   hash-grid-on-TPU trap; v5e has no vector-gather hardware (no SparseCore).
-  The fix is `ops/hash_encode.py`: gather/scatter recast as one-hot MXU
-  matmuls against a lane-packed [R, 128] table (Pallas), ~450-550 ms
-  fwd+bwd at log2_T=15-16 — 15-40x over the XLA path; `impl="auto"` picks
-  it on TPU at every table size (cost grows linearly in R but XLA's
-  serialized loops are flat ~8.7 s regardless). The dense `NeRFField`
-  MLP remains the single-chip throughput flagship (~24 it/s fused step).
+  The fix is gather/scatter recast as one-hot MXU matmuls against a
+  lane-packed table: `ops/hash_encode.py` (dense, O(T)/point) for tables
+  at/below one 4096-entry window, `ops/hash_encode_win.py` (Z-curve
+  windowed, O(window)/point + sorted-through-MLP field flow) above —
+  69 ms fwd+bwd at the reference-default log2_T=19 (round 3), 78.6 ms
+  full train step (52k rays/s) vs the flagship fused-MLP's 37.6 ms.
 - Levels whose dense grid fits the table use collision-free linear indexing;
   finer levels use the standard spatial hash with primes (1, 2654435761,
   805459861) — the same scheme as instant-ngp, chosen per level statically.
@@ -67,8 +67,9 @@ class HashGridEncoding(nn.Module):
         reference for "win").
       - "xla": plain gather / scatter-add with the reference's XOR-prime
         hash (CPU reference path for "mxu").
-      - "auto": on TPU, "win" for log2_table_size >= 16 else "mxu"; "xla"
-        elsewhere (`recommended_impl`).
+      - "auto": on TPU, "win" for any table over one window
+        (log2_table_size >= 13) else "mxu"; "xla" elsewhere
+        (`recommended_impl`).
     """
     n_levels: int = 16
     features: int = 2
@@ -130,8 +131,17 @@ class HashGridEncoding(nn.Module):
         return impl
 
     @nn.compact
-    def __call__(self, x):
-        """x: [..., 3] in [0, 1]. Returns [..., n_levels * features]."""
+    def __call__(self, x, sorted_extra=None):
+        """x: [..., 3] in [0, 1]. Returns [..., n_levels * features].
+
+        sorted_extra: optional tuple of flat [N] per-point columns. When
+        given (windowed impls only), the SORTED encode is returned instead:
+        `(feats_sorted [n_pad, L*F], perm, inv_perm, extra_sorted tuple)`
+        — the caller runs its pointwise consumers (MLP heads) in Z-sorted
+        order and restores order once on its own small output via
+        `hash_encode_win.unsort_columns`, instead of un-permuting the wide
+        feature matrix here (measured ~10 ms/786k points saved on v5e).
+        """
         t = 1 << self.log2_table_size
         table = self.param(
             "table",
@@ -147,6 +157,19 @@ class HashGridEncoding(nn.Module):
             from spinnerf_tpu.ops import hash_encode_win as hw
             resolutions = level_resolutions(self.n_levels, self.base_res,
                                             self.finest_res)
+            if sorted_extra is not None:
+                n = x.shape[0]
+                n_pad = -(-n // hw._B) * hw._B
+                xt_s, perm, inv_perm, *extra_s = hw.sort_perm(
+                    x, float(max(resolutions)), n_pad, extra=sorted_extra)
+                idx, w = hw.corner_indices_weights_win(xt_s, resolutions, t)
+                pages, _ = hw.window_offsets(idx, t)
+                if impl == "win":
+                    out = hw.hash_encode_win(table, idx, w, pages)
+                else:
+                    out = hw.hash_encode_win_xla(table, idx, w, pages)
+                return (out.astype(self.compute_dtype), perm, inv_perm,
+                        tuple(extra_s))
             out = hw.encode_win(table, x, resolutions,
                                 use_kernel=(impl == "win"))    # [N, L*F]
             return out.astype(self.compute_dtype).reshape(
@@ -191,18 +214,10 @@ class HashGridField(nn.Module):
     compute_dtype: jnp.dtype = jnp.bfloat16
     impl: str = "auto"
 
-    @nn.compact
-    def __call__(self, pts, viewdirs=None, frozen_sigma=None):
-        """pts [..., 3] world coords in [-bound, bound]; viewdirs unit [..., 3]
-        broadcast over the sample axis. Returns [..., 4(+1)] float32."""
-        dtype = self.compute_dtype
-        x = (pts + self.bound) / (2.0 * self.bound)
-        enc = HashGridEncoding(
-            n_levels=self.n_levels, features=self.features,
-            log2_table_size=self.log2_table_size, base_res=self.base_res,
-            finest_res=self.finest_res_per_unit * self.bound,
-            compute_dtype=dtype, impl=self.impl, name="encoder")(x)
-
+    def _heads(self, enc, d, dtype):
+        """Sigma + color MLP heads over encoded features (pointwise: runs
+        identically on caller-ordered or Z-sorted points). Returns raw
+        channel tuple (rgb x3 ..., sigma_raw, [semantic])."""
         h = enc.astype(dtype)
         for i in range(self.num_layers - 1):
             h = nn.relu(nn.Dense(self.hidden_dim, dtype=dtype,
@@ -218,8 +233,6 @@ class HashGridField(nn.Module):
         # optimizer step zeroes all density with no gradient to recover.
         from spinnerf_tpu.models.activations import trunc_exp
         sigma = trunc_exp(h[..., 0:1].astype(jnp.float32))
-        if frozen_sigma is not None:
-            sigma = frozen_sigma.astype(jnp.float32)
         ofs = 1
         heads = []
         if self.semantic:
@@ -227,15 +240,58 @@ class HashGridField(nn.Module):
             ofs = 2
         geo = h[..., ofs:]
 
-        if viewdirs is None:
-            raise ValueError("HashGridField requires view directions")
-        vd = jnp.broadcast_to(viewdirs[..., None, :], pts.shape[:-1] + (3,))
-        d = sh_encoding(vd, degree=self.sh_degree).astype(dtype)
-
-        c = jnp.concatenate([d, geo], axis=-1)
+        c = jnp.concatenate([d.astype(dtype), geo], axis=-1)
         for i in range(self.num_layers_color - 1):
             c = nn.relu(nn.Dense(self.hidden_dim_color, dtype=dtype,
                                  name=f"color_{i}")(c))
         rgb = nn.Dense(3, dtype=dtype, name="color_out")(c).astype(jnp.float32)
+        return rgb, sigma, heads
 
+    @nn.compact
+    def __call__(self, pts, viewdirs=None, frozen_sigma=None):
+        """pts [..., 3] world coords in [-bound, bound]; viewdirs unit [..., 3]
+        broadcast over the sample axis. Returns [..., 4(+1)] float32."""
+        dtype = self.compute_dtype
+        x = (pts + self.bound) / (2.0 * self.bound)
+        if viewdirs is None:
+            raise ValueError("HashGridField requires view directions")
+        enc_mod = HashGridEncoding(
+            n_levels=self.n_levels, features=self.features,
+            log2_table_size=self.log2_table_size, base_res=self.base_res,
+            finest_res=self.finest_res_per_unit * self.bound,
+            compute_dtype=dtype, impl=self.impl, name="encoder")
+
+        vd = jnp.broadcast_to(viewdirs[..., None, :], pts.shape[:-1] + (3,))
+
+        if enc_mod._resolve_impl() in ("win", "win_xla"):
+            # sorted-through-MLP: every consumer of the encode is pointwise,
+            # so the MLP heads run directly on Z-sorted points and only the
+            # final 4(+1) raw channels are restored to caller order (keyed
+            # sort) — unsorting the [N, L*F] feature matrix here would cost
+            # a wide row-gather fwd AND bwd per apply
+            from spinnerf_tpu.ops.hash_encode_win import unsort_columns
+            shape = pts.shape[:-1]
+            n = int(np.prod(shape)) if shape else 1
+            vd_flat = vd.reshape(-1, 3)
+            enc_s, perm, inv_perm, vd_cols = enc_mod(
+                x.reshape(-1, 3),
+                sorted_extra=(vd_flat[:, 0], vd_flat[:, 1], vd_flat[:, 2]))
+            d = sh_encoding(jnp.stack(vd_cols, axis=-1),
+                            degree=self.sh_degree)
+            rgb, sigma, heads = self._heads(enc_s, d, dtype)
+            cols = (rgb[:, 0], rgb[:, 1], rgb[:, 2], sigma[:, 0],
+                    *(hd[:, 0] for hd in heads))
+            cols = unsort_columns(perm, inv_perm, *cols)
+            raw = jnp.stack(cols, axis=-1)[:n].reshape(*shape, len(cols))
+            sigma = raw[..., 3:4]
+            if frozen_sigma is not None:
+                sigma = frozen_sigma.astype(jnp.float32)
+            return jnp.concatenate(
+                [raw[..., 0:3], sigma, raw[..., 4:]], axis=-1)
+
+        enc = enc_mod(x)
+        d = sh_encoding(vd, degree=self.sh_degree)
+        rgb, sigma, heads = self._heads(enc, d, dtype)
+        if frozen_sigma is not None:
+            sigma = frozen_sigma.astype(jnp.float32)
         return jnp.concatenate([rgb, sigma] + heads, axis=-1)

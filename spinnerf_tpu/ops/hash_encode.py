@@ -59,13 +59,16 @@ def recommended_impl(log2_table_size: int, on_tpu: bool | None = None) -> str:
     """On TPU: the dense one-hot path beats XLA's serialized gather/scatter
     at every table size (cost linear in R vs XLA's flat ~8.7 s), but its
     O(T)-per-point MXU work loses to the windowed Z-curve kernels
-    (`ops/hash_encode_win.py`, O(window) per point) once the table is large;
-    crossover measured at log2_table_size ~15-16 on v5e."""
+    (`ops/hash_encode_win.py`, O(window)=4096 entries per point) for any
+    table bigger than one window: at 2^14 the windowed step measured 78.6 ms
+    vs the dense kernel's 91.5 (v5e, round-3 bench) and the gap grows with
+    T. Dense remains for tables at/below one window (2^12) where the
+    windowed path degenerates to it, minus the sort."""
     if on_tpu is None:
         on_tpu = jax.devices()[0].platform == "tpu"
     if not on_tpu:
         return "xla"
-    return "win" if log2_table_size >= 16 else "mxu"
+    return "win" if log2_table_size >= 13 else "mxu"
 
 
 # -----------------------------------------------------------------------------

@@ -149,43 +149,54 @@ def overflow_fraction(idx, t: int):
 # kernels — grid (L, NB); point tiles [*, B]; window = 2 pages of the table
 # -----------------------------------------------------------------------------
 
-def _win_fwd_kernel(pages_ref, rows_ref, lanes_ref, w_ref, tab0_ref, tab1_ref,
-                    out_ref):
+def _win_fwd_kernel(pages_ref, off_ref, w_ref, tab0_ref, tab1_ref, out_ref):
     """out[l, :, bB:+B] = trilinear blend of window-gathered features.
 
-    rows/lanes are RELATIVE to the window (precomputed by `window_offsets`);
+    off is RELATIVE to the window (precomputed by `window_offsets`);
     tab0/tab1 are the two [1, _PAGE_ROWS, 128] pages, scalar-prefetch-indexed.
+
+    Per corner: one row one-hot matmul gathers the point's 128-lane row,
+    then a single PAIR mask (lane>>1 == off&63 covers both feature lanes)
+    accumulates w_c * masked row into S — 3 vreg ops/corner instead of the
+    two per-feature compare+select+reduce chains. The even/odd parity sums
+    that split S into (f0, f1) happen ONCE per block as a tiny [2,128]
+    matmul (HIGHEST precision: S is an f32 accumulation).
     """
     tabt = jnp.concatenate([tab0_ref[0], tab1_ref[0]],
                            axis=0).T.astype(jnp.bfloat16)     # [128, 64]
-    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (128, _B), 0)
+    iota_pair = jax.lax.broadcasted_iota(jnp.int32, (128, _B), 0) >> 1
     iota_r = jax.lax.broadcasted_iota(jnp.int32, (_WIN_ROWS, _B), 0)
-    out0 = jnp.zeros((1, _B), jnp.float32)
-    out1 = jnp.zeros((1, _B), jnp.float32)
+    s = jnp.zeros((128, _B), jnp.float32)
     for c in range(8):
-        rows_c = rows_ref[0, c:c + 1, :]                      # [1, B]
-        oht = (rows_c == iota_r).astype(jnp.bfloat16)         # [64, B]
+        off_c = off_ref[0, c:c + 1, :]                        # [1, B]
+        oht = ((off_c >> 6) == iota_r).astype(jnp.bfloat16)   # [64, B]
         gathered = jax.lax.dot_general(
             tabt, oht, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)               # [128, B]
-        lane_c = lanes_ref[0, c:c + 1, :]
         w_c = w_ref[0, c:c + 1, :]
-        f0 = jnp.sum(jnp.where(sub_iota == lane_c, gathered, 0.0),
-                     axis=0, keepdims=True)
-        f1 = jnp.sum(jnp.where(sub_iota == lane_c + 1, gathered, 0.0),
-                     axis=0, keepdims=True)
-        out0 = out0 + w_c * f0
-        out1 = out1 + w_c * f1
-    out_ref[0] = jnp.concatenate([out0, out1], axis=0)        # [2, B]
+        s = s + jnp.where(iota_pair == (off_c & 63), gathered * w_c, 0.0)
+    # parity split, once per block: out[0] = even-lane sum (f0), out[1] =
+    # odd-lane sum (f1). Two masked full reductions — NOT a [2,128] matmul,
+    # which Mosaic pads to M=128 (and x3 passes at f32 precision), costing
+    # as much as three extra corner gathers.
+    parity = jax.lax.broadcasted_iota(jnp.int32, (128, _B), 0) & 1
+    f0 = jnp.sum(jnp.where(parity == 0, s, 0.0), axis=0, keepdims=True)
+    f1 = jnp.sum(jnp.where(parity == 1, s, 0.0), axis=0, keepdims=True)
+    out_ref[0] = jnp.concatenate([f0, f1], axis=0)            # [2, B]
 
 
-def _win_bwd_kernel(pages_ref, rows_ref, lanes_ref, w_ref, g_ref, dtab_ref):
+def _win_bwd_kernel(pages_ref, off_ref, w_ref, g_ref, dtab_ref):
     """Accumulate each block's window gradient into the level's grad table.
 
     The whole per-level packed grad table ([R, 128] — 4 MB at 2^19) stays
     VMEM-resident as a revisited output block across the point-block grid
     dimension; the 64-row window update lands via a dynamic-slice
     accumulate. Zeroed on the level's first block.
+
+    The per-lane cotangent row vt uses the same pair-mask trick as the
+    forward: g01 (cotangent laid out by lane parity) is built once per
+    block, each corner is then mask+scale — 3 vreg ops instead of the two
+    per-feature compare+select chains.
     """
     l = pl.program_id(0)
     b = pl.program_id(1)
@@ -195,19 +206,17 @@ def _win_bwd_kernel(pages_ref, rows_ref, lanes_ref, w_ref, g_ref, dtab_ref):
         dtab_ref[0] = jnp.zeros_like(dtab_ref[0])
 
     row0 = pages_ref[l, b] * _PAGE_ROWS
-    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (128, _B), 0)
+    iota_pair = jax.lax.broadcasted_iota(jnp.int32, (128, _B), 0) >> 1
+    parity = jax.lax.broadcasted_iota(jnp.int32, (128, _B), 0) & 1
     iota_r = jax.lax.broadcasted_iota(jnp.int32, (_WIN_ROWS, _B), 0)
-    g0 = g_ref[0, 0:1, :]
-    g1 = g_ref[0, 1:2, :]
+    g01 = jnp.where(parity == 0, g_ref[0, 0:1, :], g_ref[0, 1:2, :])
     upd = jnp.zeros((_WIN_ROWS, 128), jnp.float32)
     for c in range(8):
-        rows_c = rows_ref[0, c:c + 1, :]
-        lane_c = lanes_ref[0, c:c + 1, :]
+        off_c = off_ref[0, c:c + 1, :]
         w_c = w_ref[0, c:c + 1, :]
-        vt = (jnp.where(sub_iota == lane_c, g0 * w_c, 0.0)
-              + jnp.where(sub_iota == lane_c + 1, g1 * w_c, 0.0)
-              ).astype(jnp.bfloat16)                          # [128, B]
-        oht = (rows_c == iota_r).astype(jnp.bfloat16)         # [64, B]
+        vt = jnp.where(iota_pair == (off_c & 63), g01 * w_c,
+                       0.0).astype(jnp.bfloat16)              # [128, B]
+        oht = ((off_c >> 6) == iota_r).astype(jnp.bfloat16)   # [64, B]
         upd = upd + jax.lax.dot_general(
             oht, vt, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)               # [64, 128]
@@ -219,17 +228,18 @@ def _win_bwd_kernel(pages_ref, rows_ref, lanes_ref, w_ref, g_ref, dtab_ref):
 # host-side wrappers
 # -----------------------------------------------------------------------------
 
-def _prep(off, weights, features, n_pad):
-    """Relative entry offsets -> (rows, lanes, w) kernel inputs, padded to
-    a _B multiple along points. Window starts are page-aligned, so lane =
-    (off * F) & 127 equals the absolute lane."""
-    rows = ((off * features) >> 7).astype(jnp.int32)
-    lanes = ((off * features) & 127).astype(jnp.int32)
+def _prep(off, weights, n_pad):
+    """Pad the relative entry offsets + weights to a _B multiple along
+    points. Row/lane decomposition happens in-kernel (off>>6 / off&63 at
+    F=2) — window starts are page-aligned, so in-window positions equal
+    absolute packed positions; shipping `off` alone saves one [L, 8, N]
+    HBM stream versus precomputed rows+lanes."""
+    off = off.astype(jnp.int32)
     w = weights.astype(jnp.float32)
-    if n_pad != rows.shape[2]:
-        pad = [(0, 0), (0, 0), (0, n_pad - rows.shape[2])]
-        rows, lanes, w = (jnp.pad(x, pad) for x in (rows, lanes, w))
-    return rows, lanes, w
+    if n_pad != off.shape[2]:
+        pad = [(0, 0), (0, 0), (0, n_pad - off.shape[2])]
+        off, w = (jnp.pad(x, pad) for x in (off, w))
+    return off, w
 
 
 def _pack(table):
@@ -260,7 +270,7 @@ def hash_encode_win(table, idx, weights, pages, interpret=False):
 
 def _point_specs():
     return [pl.BlockSpec((1, 8, _B), lambda i, j, pages: (i, 0, j),
-                         memory_space=pltpu.VMEM)] * 3
+                         memory_space=pltpu.VMEM)] * 2
 
 
 def _win_fwd_impl(table, idx, weights, pages, interpret):
@@ -278,7 +288,7 @@ def _win_fwd_impl(table, idx, weights, pages, interpret):
     r = t * f // 128
 
     _, off = window_offsets(idx, t)
-    rows, lanes, w = _prep(off, weights, f, n)
+    off, w = _prep(off, weights, n)
     tabt = _pack(table)                                        # [L, R, 128]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -299,11 +309,11 @@ def _win_fwd_impl(table, idx, weights, pages, interpret):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((l, 2, n), jnp.float32),
         interpret=interpret,
-    )(pages, rows, lanes, w, tabt, tabt)
+    )(pages, off, w, tabt, tabt)
     # [L, 2, N] -> [L*2, N] is free (contiguous); the transpose to [N, L*2]
     # moves between two DENSE layouts (N-minor -> 32-minor, padded 4x not
     # 64x). Returning [N, L, F] here would tile-pad F=2 to 128 lanes.
-    return out.reshape(l * 2, n).T, ((l, t, f), rows, lanes, w, pages)
+    return out.reshape(l * 2, n).T, ((l, t, f), off, w, pages)
 
 
 def _win_fwd_rule(table, idx, weights, pages, interpret):
@@ -311,9 +321,9 @@ def _win_fwd_rule(table, idx, weights, pages, interpret):
 
 
 def _win_bwd_rule(interpret, res, g):
-    (l, t, f), rows, lanes, w, pages = res
+    (l, t, f), off, w, pages = res
     r = t * f // 128
-    n = rows.shape[2]
+    n = off.shape[2]
     # g arrives [N, L*2]; dense-transpose then free reshape to [L, 2, N]
     g_l = g.T.reshape(l, 2, n).astype(jnp.float32)
 
@@ -331,7 +341,7 @@ def _win_bwd_rule(interpret, res, g):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((l, r, 128), jnp.float32),
         interpret=interpret,
-    )(pages, rows, lanes, w, g_l)
+    )(pages, off, w, g_l)
     return dpacked.reshape(l, t, f), None, None, None
 
 
@@ -372,14 +382,18 @@ def corner_indices_weights_win(xt, resolutions, t: int):
     x0f = jnp.floor(xs)
     frac = xs - x0f
     x0 = x0f.astype(jnp.uint32)
+    # the 8 corners take only TWO distinct values per axis (c and c+1):
+    # spread the bits 2x3 times (low 9b) + 2x3 (high 9b) instead of 8x3+8x3
+    # — the spread9 chains are ~2/3 of this function's lane math
+    sp_lo = [[_spread9(x0[:, a, :] + np.uint32(d)) << a for a in range(3)]
+             for d in (0, 1)]                              # [2][3] of [L, N]
+    sp_hi = [[_spread9((x0[:, a, :] + np.uint32(d)) >> 9) << a
+              for a in range(3)] for d in (0, 1)]
     idx_c, w_c = [], []
     for ci in range(8):
         i, j, k = (ci >> 2) & 1, (ci >> 1) & 1, ci & 1
-        cx = x0[:, 0, :] + np.uint32(i)
-        cy = x0[:, 1, :] + np.uint32(j)
-        cz = x0[:, 2, :] + np.uint32(k)
-        m = morton27(cx, cy, cz)
-        hi = morton27(cx >> 9, cy >> 9, cz >> 9)
+        m = sp_lo[i][0] | sp_lo[j][1] | sp_lo[k][2]
+        hi = sp_hi[i][0] | sp_hi[j][1] | sp_hi[k][2]
         mixed = m ^ ((m >> log2t) * k_fold) ^ (hi * k_hi)
         idx_c.append((mixed & mask).astype(jnp.int32))
         wx = frac[:, 0, :] if i else 1.0 - frac[:, 0, :]
@@ -390,32 +404,57 @@ def corner_indices_weights_win(xt, resolutions, t: int):
             jnp.stack(w_c, axis=1).astype(jnp.float32))
 
 
-def sort_perm(x, finest_res: float, n_pad: int):
+def sort_perm(x, finest_res: float, n_pad: int, extra=()):
     """Z-curve sort of padded points. Returns (x_sorted [3, n_pad] —
     coords-major, the dense TPU layout — plus perm, inv_perm int32
-    [n_pad]).
+    [n_pad], plus one sorted [n_pad] column per `extra` entry).
 
     Pad slots (id >= N) carry clamped copies of the last point so they sort
     adjacently and never widen a real block's window. The coordinate
-    columns ride the SAME `lax.sort` as the keys — a separate x[perm]
-    row-gather would materialize the [N, 3] array lane-padded 3->128 on
-    TPU (42x HBM inflation). inv_perm comes from a second key-only sort;
-    no serialized scatter anywhere."""
+    columns (and any `extra` per-point columns, e.g. view directions for
+    the sorted-through-MLP field path) ride the SAME `lax.sort` as the
+    keys — a separate x[perm] row-gather would materialize the [N, 3]
+    array lane-padded 3->128 on TPU (42x HBM inflation). inv_perm comes
+    from a second key-only sort; no serialized scatter anywhere."""
     n = x.shape[0]
     hi, lo = morton_sort_keys(x, finest_res)
-    x0, x1, x2 = x[:, 0], x[:, 1], x[:, 2]
+    cols = [x[:, 0], x[:, 1], x[:, 2], *extra]
     if n_pad != n:
         pad = (n_pad - n,)
         hi = jnp.concatenate([hi, jnp.full(pad, hi[-1])])
         lo = jnp.concatenate([lo, jnp.full(pad, lo[-1])])
-        x0 = jnp.concatenate([x0, jnp.full(pad, x0[-1])])
-        x1 = jnp.concatenate([x1, jnp.full(pad, x1[-1])])
-        x2 = jnp.concatenate([x2, jnp.full(pad, x2[-1])])
+        cols = [jnp.concatenate([c, jnp.full(pad, c[-1])]) for c in cols]
     iota = jnp.arange(n_pad, dtype=jnp.int32)
-    _, _, perm, s0, s1, s2 = jax.lax.sort((hi, lo, iota, x0, x1, x2),
-                                          num_keys=2)
+    out = jax.lax.sort((hi, lo, iota, *cols), num_keys=2)
+    perm = out[2]
     _, inv_perm = jax.lax.sort((perm, iota), num_keys=1)
-    return jnp.stack([s0, s1, s2], axis=0), perm, inv_perm
+    return (jnp.stack(out[3:6], axis=0), perm, inv_perm, *out[6:])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def unsort_columns(perm, inv_perm, *cols):
+    """Restore caller order for per-point columns produced in Z-sorted
+    order — the cheap inverse of `sort_perm` for SMALL channel counts.
+
+    A row-gather of a [N, C] array would tile-pad C -> 128 lanes on TPU;
+    sorting the columns keyed by `perm` applies the inverse permutation as
+    dense column traffic instead (sorted position j holds original index
+    perm[j]; ordering by perm ascending is exactly the unsort). The VJP is
+    the forward permutation, applied the same way keyed by `inv_perm`."""
+    return jax.lax.sort((perm, *cols), num_keys=1)[1:]
+
+
+def _unsort_fwd(perm, inv_perm, *cols):
+    return unsort_columns(perm, inv_perm, *cols), (perm, inv_perm)
+
+
+def _unsort_bwd(res, g):
+    perm, inv_perm = res
+    g_sorted = jax.lax.sort((inv_perm, *g), num_keys=1)[1:]
+    return (None, None, *g_sorted)
+
+
+unsort_columns.defvjp(_unsort_fwd, _unsort_bwd)
 
 
 def encode_win(table, x, resolutions, *, interpret=False, use_kernel=True):

@@ -35,8 +35,12 @@ def stage_mvseg(cfg: Config, *, n_iters=None, log=print):
     """Stage 2: lift sparse masks to every view (writes `label/`)."""
     from spinnerf_tpu.pipeline import mvseg as mvseg_lib
     from spinnerf_tpu.train.loop import Trainer
+    # i_feat=0: the periodic prepare/sanity render dumps belong to the fit
+    # stage (`README.md:140` i_feat=200); MVSeg's product is `export_masks`
+    # below — a leaked fit-stage i_feat would render every view's full-res
+    # disparity dozens of times inside this stage's wall-clock.
     mv_cfg = dc_replace(cfg, mvseg=True, expname=cfg.expname + "_mvseg",
-                        prepare=True, lpips=False)
+                        prepare=True, lpips=False, i_feat=0)
     tr = Trainer(mv_cfg, log=log)
     tr.fit(n_iters=n_iters)
     out_dir, masks = mvseg_lib.export_masks(tr, out_subdir="label",
@@ -49,8 +53,11 @@ def stage_prepare(cfg: Config, *, n_iters=None, log=print):
     """Stage 3: fit the depth NeRF on original images and dump per-view
     disparities + downsampled masks (LaMa guidance inputs)."""
     from spinnerf_tpu.train.loop import Trainer
+    # i_feat=0 disables in-loop dumps; the single end-of-training dump below
+    # reproduces the reference's `i_feat=4000` over `N_iters=4001`
+    # (`README.md:65`: exactly one guidance dump, at the end).
     prep_cfg = dc_replace(cfg, prepare=True, lpips=False,
-                          expname=cfg.expname + "_prepare", N_gt=0)
+                          expname=cfg.expname + "_prepare", N_gt=0, i_feat=0)
     tr = Trainer(prep_cfg, log=log)
     tr.fit(n_iters=n_iters)
     out = tr._prepare_hook(tr.state.step)
@@ -123,9 +130,15 @@ def stage_fit(cfg: Config, *, n_iters=None, log=print):
 def stage_eval(cfg: Config, trainer, *, log=print):
     """Stage 7: PSNR + SSIM + LPIPS of test-view renders vs GT (the paper's
     protocol, `DS_NeRF/eval_metrics_script.py:26-33`: full-image metrics,
-    plus masked PSNR where a hole mask exists). LPIPS is numerically real
+    plus masked PSNR/SSIM/LPIPS where a hole mask exists — the paper's
+    inpainting tables score the masked region). LPIPS is numerically real
     only when VGG16/lin weights are dropped in (`spinnerf_tpu/weights.py`);
-    otherwise the key is `lpips_random_vgg`."""
+    otherwise the key is `lpips_random_vgg`.
+
+    Mask source: `scene.masks_gt` (the exact GT hole masks, e.g.
+    `label_full/`) when loaded — MVSeg's `export_masks` overwrites `label/`
+    with estimated, dilated masks, which must not define the scored region
+    for GT test views — else the `label/` masks."""
     import jax.numpy as jnp
     from spinnerf_tpu.eval import metrics
     if len(trainer.i_test) == 0:
@@ -133,6 +146,8 @@ def stage_eval(cfg: Config, trainer, *, log=print):
         return {}
     from spinnerf_tpu.models.lpips import load_lpips_labeled
     lpips_fn, lpips_key = load_lpips_labeled()
+    eval_masks = (trainer.scene.masks_gt if trainer.scene.masks_gt is not None
+                  else trainer.scene.masks)
     rgbs, _ = trainer.render_poses_list(trainer.scene.poses[trainer.i_test])
     rows = []
     for r, t in zip(rgbs, trainer.i_test):
@@ -141,11 +156,17 @@ def stage_eval(cfg: Config, trainer, *, log=print):
         row = {"psnr": float(metrics.psnr(pred, gt)),
                "ssim": float(metrics.ssim(pred, gt)),
                lpips_key: float(lpips_fn(pred, gt))}
-        if trainer.scene.masks is not None:
-            m = jnp.asarray((np.abs(trainer.scene.masks[t]) > 0.5)
+        if eval_masks is not None:
+            m = jnp.asarray((np.abs(eval_masks[t]) > 0.5)
                             .astype(np.float32))
-            if float(m.sum()) > 0:  # views without a hole have no masked PSNR
+            if float(m.sum()) > 0:  # views without a hole have no masked row
                 row["masked_psnr"] = float(metrics.psnr(pred, gt, m))
+                row["masked_ssim"] = float(metrics.ssim(pred, gt, mask=m))
+                # masked LPIPS: composite GT outside the hole so only the
+                # inpainted region contributes perceptual difference (static
+                # shapes — no per-view bbox recompiles)
+                comp = pred * m[..., None] + gt * (1.0 - m[..., None])
+                row["masked_" + lpips_key] = float(lpips_fn(comp, gt))
         rows.append(row)
     summary = {k: float(np.mean([r[k] for r in rows if k in r]))
                for k in set().union(*rows)}

@@ -224,3 +224,77 @@ def test_hashgrid_encoding_win_xla_impl():
     leaves = jax.tree.leaves(g)
     assert all(np.isfinite(np.asarray(a)).all() for a in leaves)
     assert float(jnp.abs(leaves[0]).max()) > 0
+
+
+def test_unsort_columns_roundtrip_and_vjp():
+    """unsort_columns(perm, inv, *cols_sorted) restores caller order, and
+    its VJP re-sorts cotangents (pure keyed sorts, no gathers)."""
+    rng = np.random.RandomState(11)
+    n = 257
+    x = rng.rand(n).astype(np.float32)
+    y = rng.rand(n).astype(np.float32)
+    perm = rng.permutation(n).astype(np.int32)
+    inv = np.empty(n, np.int32)
+    inv[perm] = np.arange(n, dtype=np.int32)
+    xs, ys = x[perm], y[perm]  # sorted-order columns
+    ox, oy = hw.unsort_columns(jnp.asarray(perm), jnp.asarray(inv),
+                               jnp.asarray(xs), jnp.asarray(ys))
+    np.testing.assert_array_equal(np.asarray(ox), x)
+    np.testing.assert_array_equal(np.asarray(oy), y)
+
+    g = rng.rand(n).astype(np.float32)  # cotangent in caller order
+    gx = jax.grad(lambda a: jnp.sum(hw.unsort_columns(
+        jnp.asarray(perm), jnp.asarray(inv), a)[0] * jnp.asarray(g)))(
+            jnp.asarray(xs))
+    np.testing.assert_allclose(np.asarray(gx), g[perm], rtol=0, atol=0)
+
+
+def test_hashgrid_field_sorted_flow_order_invariance():
+    """The field's sorted-through-MLP path (windowed impls) must return raw
+    outputs in CALLER order: permuting the input points permutes outputs."""
+    from spinnerf_tpu.models.hashgrid import HashGridField
+    model = HashGridField(n_levels=4, log2_table_size=13, bound=1.5,
+                          finest_res_per_unit=128, hidden_dim=16,
+                          hidden_dim_color=16, impl="win_xla",
+                          compute_dtype=jnp.float32)
+    rng = np.random.RandomState(3)
+    pts = jnp.asarray((rng.rand(40, 7, 3) * 2 - 1).astype(np.float32))
+    vd = rng.randn(40, 3).astype(np.float32)
+    vd = jnp.asarray(vd / np.linalg.norm(vd, axis=-1, keepdims=True))
+    params = model.init(jax.random.PRNGKey(0), pts, vd)
+    raw = model.apply(params, pts, vd)
+    assert raw.shape == (40, 7, 4)
+    p = np.random.RandomState(4).permutation(40)
+    raw_p = model.apply(params, pts[p], vd[p])
+    np.testing.assert_allclose(np.asarray(raw_p), np.asarray(raw)[p],
+                               rtol=1e-5, atol=1e-5)
+    # gradient flows to the table through the sorted path
+    g = jax.grad(lambda pr: jnp.sum(model.apply(pr, pts, vd) ** 2))(params)
+    leaves = jax.tree.leaves(g)
+    assert all(np.isfinite(np.asarray(a)).all() for a in leaves)
+    assert max(float(jnp.abs(a).max()) for a in leaves) > 0
+
+
+def test_hashgrid_field_sorted_flow_semantic_and_frozen_sigma():
+    """Sorted path: the 5th (semantic) channel survives unsorting, and
+    frozen_sigma substitution happens in caller order."""
+    from spinnerf_tpu.models.hashgrid import HashGridField
+    model = HashGridField(n_levels=4, log2_table_size=13, bound=1.5,
+                          finest_res_per_unit=128, hidden_dim=16,
+                          hidden_dim_color=16, impl="win_xla",
+                          semantic=True, compute_dtype=jnp.float32)
+    rng = np.random.RandomState(5)
+    pts = jnp.asarray((rng.rand(20, 5, 3) * 2 - 1).astype(np.float32))
+    vd = rng.randn(20, 3).astype(np.float32)
+    vd = jnp.asarray(vd / np.linalg.norm(vd, axis=-1, keepdims=True))
+    params = model.init(jax.random.PRNGKey(0), pts, vd)
+    raw = model.apply(params, pts, vd)
+    assert raw.shape == (20, 5, 5)
+    frozen = jnp.asarray(rng.rand(20, 5, 1).astype(np.float32))
+    raw_f = model.apply(params, pts, vd, frozen_sigma=frozen)
+    np.testing.assert_allclose(np.asarray(raw_f[..., 3:4]),
+                               np.asarray(frozen), rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(raw_f[..., :3]),
+                               np.asarray(raw[..., :3]), rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(raw_f[..., 4:]),
+                               np.asarray(raw[..., 4:]), rtol=0, atol=0)

@@ -51,10 +51,28 @@ def main(argv=None):
     from spinnerf_tpu.data import synthetic
     from spinnerf_tpu.pipeline import stages
 
+    if args.gt <= 0:
+        # stage_eval needs test views; otherwise hours of stages end in an
+        # empty report
+        raise SystemExit("--gt must be >= 1 (object-removed GT test views)")
+
     work = Path(args.workdir)
     t0 = time.perf_counter()
     scene_dir = work / "scene"
-    if not (scene_dir / "poses_bounds.npy").exists():
+    # resume marker: stamp the generation params and only reuse a scene whose
+    # LAST artifact (sparse/0/points3D.bin, written after poses_bounds.npy)
+    # exists and whose params match — an interrupted or differently-sized
+    # generation is regenerated, not silently reused
+    gen_params = {"views": args.views, "gt": args.gt, "h": args.h,
+                  "w": args.w, "factor": args.factor}
+    marker = scene_dir / "fullrun_scene.json"
+    complete = (marker.exists()
+                and (scene_dir / "sparse/0/points3D.bin").exists()
+                and json.loads(marker.read_text()) == gen_params)
+    if not complete:
+        import shutil
+        if scene_dir.exists():
+            shutil.rmtree(scene_dir)
         print(f"[fullrun] generating {args.views}-view scene "
               f"({args.h}x{args.w}, factor {args.factor})", flush=True)
         # sparse initial masks on 6 of the 60 training views (MVSeg lifts
@@ -66,12 +84,12 @@ def main(argv=None):
             scene_dir, n_views=args.views, h=args.h, w=args.w,
             factor=args.factor, n_gt=args.gt, n_points=3000,
             mask_views=mask_views, gt_mask_subdir="label_full")
-        import shutil
         # the pipeline must recreate the guidance products itself
         fdir = scene_dir / (f"images_{args.factor}"
                             if args.factor != 1 else "images")
         shutil.rmtree(fdir / "lama_images")
         shutil.rmtree(fdir / "depth")
+        marker.write_text(json.dumps(gen_params))
     gen_s = round(time.perf_counter() - t0, 1)
     print(f"[fullrun] scene ready in {gen_s}s", flush=True)
 
@@ -87,6 +105,9 @@ def main(argv=None):
         no_ndc=True, lindisp=True, render_factor=1,
         i_feat=200, feat_weight=0.1, lrate=0.03, lrate_decay=10,
         white_bkgd=True,
+        # score masked metrics against the exact GT hole masks — MVSeg's
+        # export overwrites label/ with estimated dilated masks
+        masks_gt_subdir="label_full",
         # stage-command flags (README.md:65,140): no checkpoint/video dumps
         i_weights=0, i_video=0, i_testset=0, i_print=500,
         no_tcnn=(args.model == "mlp"),
@@ -118,7 +139,8 @@ def main(argv=None):
     results.pop("per_view", None)
     Path(args.out).write_text(json.dumps(results, indent=2))
     print(json.dumps({k: results[k] for k in
-                      ("summary", "stage_seconds", "config")}, indent=2))
+                      ("summary", "stage_seconds", "config")
+                      if k in results}, indent=2))
 
 
 if __name__ == "__main__":

@@ -63,8 +63,8 @@ def main():
     print(f"window_offsets      {t(wo_j, idx):8.2f} ms")
     pages, off = jax.block_until_ready(wo_j(idx))
 
-    prep_j = jax.jit(lambda off, w: hw._prep(off, w, F, n_pad))
-    print(f"prep(rows/lanes)    {t(prep_j, off, w):8.2f} ms")
+    prep_j = jax.jit(lambda off, w: hw._prep(off, w, n_pad))
+    print(f"prep(pad off/w)     {t(prep_j, off, w):8.2f} ms")
 
     fwd_j = jax.jit(lambda tab, idx, w, pages:
                     hw.hash_encode_win(tab, idx, w, pages))
