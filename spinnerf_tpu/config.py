@@ -137,6 +137,9 @@ class Config:
     compute_dtype: str = "bfloat16"
     grad_clip: float | None = None
     distortion_weight: float = 0.0
+    table_wd: float = 0.0             # L2 decay on hash-table params only:
+    # few-view hash-grid regularizer (the 2^19 table overfits scenes whose
+    # pixel count is far below its 16.7M params; 0 = reference parity)
     mesh_shape: int = 0               # 0 = all local devices on the data axis
     seed: int = 0
 

@@ -162,11 +162,17 @@ class HashGridEncoding(nn.Module):
                 n_pad = -(-n // hw._B) * hw._B
                 xt_s, perm, inv_perm, *extra_s = hw.sort_perm(
                     x, float(max(resolutions)), n_pad, extra=sorted_extra)
-                idx, w = hw.corner_indices_weights_win(xt_s, resolutions, t)
-                pages, _ = hw.window_offsets(idx, t)
                 if impl == "win":
-                    out = hw.hash_encode_win(table, idx, w, pages)
+                    # fused-geometry kernel: corner indices/weights are
+                    # rebuilt in-kernel; only the [L, NB] window pages are
+                    # computed host-side (via a fused min-reduction)
+                    pages = hw.window_pages(xt_s, resolutions, t)
+                    out = hw.hash_encode_win_fused(
+                        table, xt_s, tuple(resolutions), pages)
                 else:
+                    idx, w = hw.corner_indices_weights_win(
+                        xt_s, resolutions, t)
+                    pages, _ = hw.window_offsets(idx, t)
                     out = hw.hash_encode_win_xla(table, idx, w, pages)
                 return (out.astype(self.compute_dtype), perm, inv_perm,
                         tuple(extra_s))

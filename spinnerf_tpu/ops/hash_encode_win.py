@@ -348,6 +348,216 @@ def _win_bwd_rule(interpret, res, g):
 hash_encode_win.defvjp(_win_fwd_rule, _win_bwd_rule)
 
 
+# -----------------------------------------------------------------------------
+# fused-geometry kernels: corner indices/weights computed IN-kernel
+# -----------------------------------------------------------------------------
+#
+# The standalone kernels above stream precomputed `off` + `weights`
+# ([L, 8, N] int32 + f32 = 800 MB at training shape) through HBM on the
+# forward pass and AGAIN on the backward; producing them costs ~12 ms of
+# XLA lane math per step on top (round-3 prof_hash). The fused variants
+# take only the sorted coords block ([3, B] — 6 KB) plus two scalar-prefetch
+# arrays (window pages, per-level resolutions) and rebuild the corner
+# geometry inside the kernel: ~200 vreg-ops on [1, B] rows per block,
+# ~1.5% of the block's existing VPU work, in exchange for dropping both
+# 800 MB streams and the XLA prep stage entirely.
+
+def _corner_geom(xt, res_l, base, log2t: int, mask_t):
+    """In-kernel corner window-offsets + trilinear weights for one
+    (level, block): bit-identical to `corner_indices_weights_win` followed
+    by `window_offsets`'s off computation on the same inputs (same f32 op
+    order, same uint32 lane math; `& (WINDOW_ENTRIES-1)` equals the host's
+    floor-mod on int32 for a power-of-two window).
+
+    xt: [3, B] f32 Z-sorted block coords; res_l: scalar f32 level scale;
+    base: scalar int32 window start entry (page * PAGE_ENTRIES).
+    Returns ([8] of [1, B] int32 in-window offsets, [8] of [1, B] f32 w).
+    """
+    k_fold = jnp.uint32(2246822519)
+    k_hi = jnp.uint32(2654435761)
+    xs = xt * res_l
+    x0f = jnp.floor(xs)
+    frac = xs - x0f
+    # Mosaic has no f32->u32 convert; f32->i32->u32 is exact here (coords
+    # are < 2^18) and bitwise-identical to the host's direct u32 cast
+    x0 = x0f.astype(jnp.int32).astype(jnp.uint32)
+    sp_lo = [[_spread9(x0[a:a + 1, :] + jnp.uint32(d)) << a for a in range(3)]
+             for d in (0, 1)]
+    sp_hi = [[_spread9((x0[a:a + 1, :] + jnp.uint32(d)) >> 9) << a
+              for a in range(3)] for d in (0, 1)]
+    fr = [[1.0 - frac[a:a + 1, :], frac[a:a + 1, :]] for a in range(3)]
+    offs, ws = [], []
+    for ci in range(8):
+        i, j, k = (ci >> 2) & 1, (ci >> 1) & 1, ci & 1
+        m = sp_lo[i][0] | sp_lo[j][1] | sp_lo[k][2]
+        hi = sp_hi[i][0] | sp_hi[j][1] | sp_hi[k][2]
+        mixed = m ^ ((m >> log2t) * k_fold) ^ (hi * k_hi)
+        idx_c = (mixed & mask_t).astype(jnp.int32)
+        offs.append((idx_c - base) & jnp.int32(WINDOW_ENTRIES - 1))
+        ws.append(fr[0][i] * fr[1][j] * fr[2][k])
+    return offs, ws
+
+
+def _win_fwd_fused_kernel(log2t: int, mask_t: int, pages_ref, res_ref,
+                          xt_ref, tab0_ref, tab1_ref, out_ref):
+    """Fused-geometry forward: `_win_fwd_kernel`'s gather/blend loop with
+    off/w rebuilt in-kernel from the coords block."""
+    l = pl.program_id(0)
+    j = pl.program_id(1)
+    base = pages_ref[l, j] * PAGE_ENTRIES
+    offs, ws = _corner_geom(xt_ref[...], res_ref[l].astype(jnp.float32),
+                            base, log2t, jnp.uint32(mask_t))
+    tabt = jnp.concatenate([tab0_ref[0], tab1_ref[0]],
+                           axis=0).T.astype(jnp.bfloat16)     # [128, 64]
+    iota_pair = jax.lax.broadcasted_iota(jnp.int32, (128, _B), 0) >> 1
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (_WIN_ROWS, _B), 0)
+    s = jnp.zeros((128, _B), jnp.float32)
+    for c in range(8):
+        off_c = offs[c]                                       # [1, B]
+        oht = ((off_c >> 6) == iota_r).astype(jnp.bfloat16)   # [64, B]
+        gathered = jax.lax.dot_general(
+            tabt, oht, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)               # [128, B]
+        s = s + jnp.where(iota_pair == (off_c & 63), gathered * ws[c], 0.0)
+    parity = jax.lax.broadcasted_iota(jnp.int32, (128, _B), 0) & 1
+    f0 = jnp.sum(jnp.where(parity == 0, s, 0.0), axis=0, keepdims=True)
+    f1 = jnp.sum(jnp.where(parity == 1, s, 0.0), axis=0, keepdims=True)
+    out_ref[0] = jnp.concatenate([f0, f1], axis=0)            # [2, B]
+
+
+def _win_bwd_fused_kernel(log2t: int, mask_t: int, pages_ref, res_ref,
+                          xt_ref, g_ref, dtab_ref):
+    """Fused-geometry backward: `_win_bwd_kernel`'s accumulate loop with
+    off/w rebuilt in-kernel."""
+    l = pl.program_id(0)
+    b = pl.program_id(1)
+
+    @pl.when(b == 0)
+    def _():
+        dtab_ref[0] = jnp.zeros_like(dtab_ref[0])
+
+    page = pages_ref[l, b]
+    offs, ws = _corner_geom(xt_ref[...], res_ref[l].astype(jnp.float32),
+                            page * PAGE_ENTRIES, log2t, jnp.uint32(mask_t))
+    row0 = page * _PAGE_ROWS
+    iota_pair = jax.lax.broadcasted_iota(jnp.int32, (128, _B), 0) >> 1
+    parity = jax.lax.broadcasted_iota(jnp.int32, (128, _B), 0) & 1
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (_WIN_ROWS, _B), 0)
+    g01 = jnp.where(parity == 0, g_ref[0, 0:1, :], g_ref[0, 1:2, :])
+    upd = jnp.zeros((_WIN_ROWS, 128), jnp.float32)
+    for c in range(8):
+        off_c = offs[c]
+        vt = jnp.where(iota_pair == (off_c & 63), g01 * ws[c],
+                       0.0).astype(jnp.bfloat16)              # [128, B]
+        oht = ((off_c >> 6) == iota_r).astype(jnp.bfloat16)   # [64, B]
+        upd = upd + jax.lax.dot_general(
+            oht, vt, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)               # [64, 128]
+
+    dtab_ref[0, pl.ds(row0, _WIN_ROWS), :] += upd
+
+
+def window_pages(xt_s, resolutions, t: int):
+    """[L, N/_B] window pages straight from sorted coords. The full
+    [L, 8, N] corner-index array exists only inside XLA's fused
+    min-reduction here (w's compute chain is dead code) — nothing
+    block-sized is materialized to HBM."""
+    idx, _ = corner_indices_weights_win(xt_s, resolutions, t)
+    return window_offsets(idx, t)[0]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 4))
+def hash_encode_win_fused(table, xt_s, resolutions, pages, interpret=False):
+    """Sorted-window hash-grid encode with in-kernel corner geometry.
+
+    Same contract and results as `hash_encode_win(table, idx, w, pages)`
+    where `idx, w = corner_indices_weights_win(xt_s, resolutions, t)` —
+    but off/w never exist outside the kernel. Differentiable wrt `table`
+    only (sample positions are not trainable in this pipeline).
+
+    Args:
+      table: [L, T, F=2] float32.
+      xt_s: [3, N] f32 Z-SORTED coords in [0,1] (from `sort_perm`),
+        N a multiple of _B.
+      resolutions: static tuple of per-level int resolutions.
+      pages: [L, N/_B] int32 from `window_pages(xt_s, resolutions, T)`.
+    """
+    out, _ = _win_fused_impl(table, xt_s, resolutions, pages, interpret)
+    return out
+
+
+def _win_fused_impl(table, xt_s, resolutions, pages, interpret):
+    l, t, f = table.shape
+    if f != 2:
+        raise ValueError("windowed hash encode supports features=2")
+    if t % PAGE_ENTRIES or t // PAGE_ENTRIES < 2:
+        raise ValueError("table too small for the windowed path")
+    n = xt_s.shape[1]
+    if n % _B:
+        raise ValueError(f"point count must be a multiple of {_B}")
+    log2t = t.bit_length() - 1
+    res_arr = jnp.asarray(resolutions, jnp.int32)
+    tabt = _pack(table)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(l, n // _B),
+        in_specs=[
+            pl.BlockSpec((3, _B), lambda i, j, pages, res: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _PAGE_ROWS, 128),
+                         lambda i, j, pages, res: (i, pages[i, j], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _PAGE_ROWS, 128),
+                         lambda i, j, pages, res: (i, pages[i, j] + 1, 0),
+                         memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 2, _B), lambda i, j, pages, res: (i, 0, j),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        functools.partial(_win_fwd_fused_kernel, log2t, t - 1),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((l, 2, n), jnp.float32),
+        interpret=interpret,
+    )(pages, res_arr, xt_s, tabt, tabt)
+    return out.reshape(l * 2, n).T, ((l, t, f), xt_s, pages)
+
+
+def _win_fused_fwd_rule(table, xt_s, resolutions, pages, interpret):
+    return _win_fused_impl(table, xt_s, resolutions, pages, interpret)
+
+
+def _win_fused_bwd_rule(resolutions, interpret, res, g):
+    (l, t, f), xt_s, pages = res
+    r = t * f // 128
+    n = xt_s.shape[1]
+    log2t = t.bit_length() - 1
+    res_arr = jnp.asarray(resolutions, jnp.int32)
+    g_l = g.T.reshape(l, 2, n).astype(jnp.float32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(l, n // _B),
+        in_specs=[
+            pl.BlockSpec((3, _B), lambda i, j, pages, res: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, _B), lambda i, j, pages, res: (i, 0, j),
+                         memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, r, 128), lambda i, j, pages, res: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    dpacked = pl.pallas_call(
+        functools.partial(_win_bwd_fused_kernel, log2t, t - 1),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((l, r, 128), jnp.float32),
+        interpret=interpret,
+    )(pages, res_arr, xt_s, g_l)
+    return dpacked.reshape(l, t, f), None, None
+
+
+hash_encode_win_fused.defvjp(_win_fused_fwd_rule, _win_fused_bwd_rule)
+
+
 def corner_indices_weights_win(xt, resolutions, t: int):
     """Locality-preserving corner indices for the windowed kernel.
 
@@ -470,11 +680,13 @@ def encode_win(table, x, resolutions, *, interpret=False, use_kernel=True):
     n = x.shape[0]
     n_pad = -(-n // _B) * _B
     xt_s, perm, inv_perm = sort_perm(x, float(max(resolutions)), n_pad)
-    idx, w = corner_indices_weights_win(xt_s, resolutions, t)
-    pages, _ = window_offsets(idx, t)
     if use_kernel:
-        out = hash_encode_win(table, idx, w, pages, interpret)
+        pages = window_pages(xt_s, resolutions, t)
+        out = hash_encode_win_fused(table, xt_s, tuple(resolutions), pages,
+                                    interpret)
     else:
+        idx, w = corner_indices_weights_win(xt_s, resolutions, t)
+        pages, _ = window_offsets(idx, t)
         out = hash_encode_win_xla(table, idx, w, pages)
     return permute_rows(out, inv_perm, perm)[:n]          # [N, L*F]
 

@@ -163,7 +163,8 @@ class Trainer:
             self.fine_model = build_model(cfg, semantic=cfg.mvseg, fine=True)
         self.tcfg = train_config(cfg)
         self.tx = schedule.make_optimizer(cfg.lrate, cfg.lrate_decay,
-                                          cfg.grad_clip)
+                                          cfg.grad_clip,
+                                          table_wd=cfg.table_wd)
         if mesh is not None:
             self.mesh = mesh
         elif cfg.mesh_shape > 0:
@@ -179,6 +180,7 @@ class Trainer:
             lpips_fn = make_patch_lpips_fn(
                 self.model, self.scene, self.i_train,
                 lpips=load_lpips(), render=render_config(cfg, train=False),
+                fine_model=self.fine_model,
                 near=self.bank.near, far=self.bank.far, ndc=self.bank.ndc,
                 lpips_render_factor=cfg.lpips_render_factor,
                 patch_len_factor=cfg.patch_len_factor,

@@ -42,7 +42,7 @@ def mask_bboxes(masks: np.ndarray, render_factor: int) -> np.ndarray:
 
 
 def make_patch_lpips_fn(model, scene, i_train, *, lpips,
-                        render: RenderConfig,
+                        render: RenderConfig, fine_model=None,
                         near: float, far: float, ndc: bool = False,
                         lpips_render_factor: int = 2,
                         patch_len_factor: int = 8,
@@ -119,8 +119,11 @@ def make_patch_lpips_fn(model, scene, i_train, *, lpips,
             return model.apply(params["coarse"], pts, vd)
 
         def fine(pts, vd):
+            # the fine field can be separately sized (`--netwidth_fine`);
+            # applying the coarse module to fine params shape-errors then
+            fm = fine_model if fine_model is not None else model
             p = params["fine"] if "fine" in params else params["coarse"]
-            return model.apply(p, pts, vd)
+            return (fm if "fine" in params else model).apply(p, pts, vd)
 
         res = rendering.render_rays(k_render, batch, coarse, rcfg,
                                     fine_field_fn=fine)

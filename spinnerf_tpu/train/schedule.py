@@ -27,10 +27,26 @@ def exponential_lr(lrate: float, lrate_decay: float) -> optax.Schedule:
 
 
 def make_optimizer(lrate: float, lrate_decay: float,
-                   grad_clip: float | None = None) -> optax.GradientTransformation:
+                   grad_clip: float | None = None,
+                   table_wd: float = 0.0) -> optax.GradientTransformation:
     """Adam with the reference's exponential decay; optional global-norm clip
-    (not in the reference NeRF trainer, but standard for bf16 stability)."""
+    (not in the reference NeRF trainer, but standard for bf16 stability).
+
+    table_wd > 0 adds L2 decay to hash-TABLE params only (leaf path contains
+    "table"), applied before Adam (L2-through-Adam, not AdamW): the few-view
+    regularizer for hash grids whose table dwarfs the scene's pixel count.
+    Default 0 keeps exact reference-optimizer parity."""
     tx = optax.adam(exponential_lr(lrate, lrate_decay), b1=0.9, b2=0.999)
+    if table_wd > 0.0:
+        def table_mask(params):
+            def walk(tree, in_table=False):
+                if isinstance(tree, dict):
+                    return {k: walk(v, in_table or "table" in str(k).lower())
+                            for k, v in tree.items()}
+                return in_table
+            return walk(params)
+        tx = optax.chain(
+            optax.masked(optax.add_decayed_weights(table_wd), table_mask), tx)
     if grad_clip is not None:
         tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
     return tx

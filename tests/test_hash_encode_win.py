@@ -161,6 +161,42 @@ def test_encode_win_kernel_matches_oracle_end_to_end():
     assert float(jnp.abs(out_k - out_o).max()) < 0.02 * scale
 
 
+def test_fused_kernel_matches_standalone_and_oracle():
+    """`hash_encode_win_fused` (in-kernel corner geometry) must reproduce
+    the standalone pipeline (host `corner_indices_weights_win` +
+    `window_offsets` + `hash_encode_win`) on the same sorted coords:
+    identical window pages, forward within bf16 matmul tolerance of the
+    oracle, and matching table gradients."""
+    rng = np.random.RandomState(7)
+    l, t = 4, 8192
+    n = 2 * hw._B
+    resolutions = (16, 64, 256, 1024)
+    table = jnp.asarray(rng.randn(l, t, 2).astype(np.float32))
+    centers = rng.rand(4, 3)
+    x = np.clip(centers.repeat(n // 4, 0)
+                + rng.randn(n, 3) * 0.03, 0, 1).astype(np.float32)
+    xt_s, _, _ = hw.sort_perm(jnp.asarray(x), float(max(resolutions)), n)
+
+    idx, w = hw.corner_indices_weights_win(xt_s, resolutions, t)
+    pages_host, _ = hw.window_offsets(idx, t)
+    pages = hw.window_pages(xt_s, resolutions, t)
+    np.testing.assert_array_equal(np.asarray(pages), np.asarray(pages_host))
+
+    out_f = hw.hash_encode_win_fused(table, xt_s, resolutions, pages, True)
+    out_o = hw.hash_encode_win_xla(table, idx, w, pages)
+    scale = float(jnp.abs(out_o).max())
+    assert out_f.shape == (n, l * 2)
+    assert float(jnp.abs(out_f - out_o).max()) < 0.02 * scale
+
+    g = jnp.asarray(rng.randn(n, l * 2).astype(np.float32))
+    gf = jax.grad(lambda tb: (hw.hash_encode_win_fused(
+        tb, xt_s, resolutions, pages, True) * g).sum())(table)
+    go = jax.grad(lambda tb: (hw.hash_encode_win_xla(tb, idx, w, pages)
+                              * g).sum())(table)
+    gscale = float(jnp.abs(go).max())
+    assert float(jnp.abs(gf - go).max()) < 0.02 * gscale
+
+
 def test_corner_indices_collision_free_when_morton_fits():
     """For corner coords < 2^floor(log2(t)/3) the mapping is injective
     (see corner_indices_weights_win docstring); just past that bound the

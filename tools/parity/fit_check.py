@@ -35,6 +35,7 @@ import numpy as np
 
 REPO = Path(__file__).resolve().parents[2]
 sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tools"))
 
 from parity.dynamic_check import (OUR_PRINT, REF_PRINT, _imread,  # noqa: E402
                                   parse_traj, run_logged)

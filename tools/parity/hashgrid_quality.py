@@ -35,6 +35,7 @@ import numpy as np
 
 REPO = Path(__file__).resolve().parents[2]
 sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tools"))
 
 from parity.dynamic_check import (OUR_PRINT, _imread, _psnr,  # noqa: E402
                                   make_scene, parse_traj, run_logged)
@@ -106,6 +107,10 @@ def main():
     ap.add_argument("--lrate-hash", default="0.01",
                     help="instant-ngp-class LR for the hash grid (the "
                     "reference scene configs run tcnn at 0.01-0.03)")
+    ap.add_argument("--table-wd", default=None,
+                    help="optional hash-table L2 decay for the hashgrid arm "
+                    "(`Config.table_wd`): the few-view regularizer when the "
+                    "2^19 table dwarfs the scene's pixel count")
     ap.add_argument("--lrate-mlp", default="0.001",
                     help="matches the recorded PARITY_RUN MLP runs")
     ap.add_argument("--cpu", action="store_true",
@@ -120,9 +125,11 @@ def main():
 
     times = {}
     if not args.skip_train:
+        hash_flags = ["--lrate", args.lrate_hash]
+        if args.table_wd is not None:
+            hash_flags += ["--table_wd", args.table_wd]
         times["hashgrid_wall_s"] = run_arm(
-            ws, "hashgrid", args.iters,
-            ["--lrate", args.lrate_hash], on_tpu=not args.cpu)
+            ws, "hashgrid", args.iters, hash_flags, on_tpu=not args.cpu)
         times["mlp_wall_s"] = run_arm(
             ws, "mlp", args.iters,
             ["--no_tcnn", "--netdepth", "8", "--netwidth", "128",

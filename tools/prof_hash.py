@@ -75,6 +75,20 @@ def main():
     )(tab))
     print(f"win kernel fwd+bwd  {t(vjp_j, table, idx, w, pages):8.2f} ms")
 
+    res_t = tuple(resolutions)
+    pages_j = jax.jit(lambda xt: hw.window_pages(xt, res_t, T))
+    print(f"window_pages(fused) {t(pages_j, xt_s):8.2f} ms")
+    pages_f = jax.block_until_ready(pages_j(xt_s))
+
+    ffwd_j = jax.jit(lambda tab, xt, pages:
+                     hw.hash_encode_win_fused(tab, xt, res_t, pages))
+    print(f"fused kernel fwd    {t(ffwd_j, table, xt_s, pages_f):8.2f} ms")
+
+    fvjp_j = jax.jit(lambda tab, xt, pages: jax.grad(
+        lambda tb: jnp.sum(hw.hash_encode_win_fused(tb, xt, res_t, pages)
+                           ** 2))(tab))
+    print(f"fused kernel f+b    {t(fvjp_j, table, xt_s, pages_f):8.2f} ms")
+
     e2e_j = jax.jit(lambda tab, x: hw.encode_win(tab, x, resolutions))
     print(f"encode_win e2e fwd  {t(e2e_j, table, x):8.2f} ms")
 
