@@ -137,6 +137,8 @@ class Config:
     compute_dtype: str = "bfloat16"
     grad_clip: float | None = None
     distortion_weight: float = 0.0
+    hash_region_calib: bool = False   # opt-in density calibration of the
+    # windowed hash's per-region capacities (hashgrid.calibrate_region_caps)
     table_wd: float = 0.0             # L2 decay on hash-table params only:
     # few-view hash-grid regularizer (the 2^19 table overfits scenes whose
     # pixel count is far below its 16.7M params; 0 = reference parity)

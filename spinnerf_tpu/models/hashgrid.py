@@ -43,6 +43,65 @@ from spinnerf_tpu.models.embedding import sh_encoding
 _PRIMES = (1, 2654435761, 805459861)
 
 
+def calibrate_region_caps(x01, log2_table_size: int):
+    """Density-calibrated per-region table capacities for the windowed
+    position-region hash.
+
+    x01: [K, 3] normalized sample positions in [0,1] (e.g. stratified ray
+    samples from the scene's ray bank — deterministic given the scene, so a
+    restored checkpoint recomputes identical caps). Returns a tuple of
+    power-of-two capacities summing to 2^log2_table_size (or None when the
+    table has a single region), allocating table entries in proportion to
+    sample density: a Z-sorted block of training points then spans
+    ~(block points / total) * T contiguous entries, keeping the windowed
+    kernel's 2-page DMA tight on REAL ray distributions, where uniform
+    region splits leave 30-50%% of fine-level corners outside the window
+    (sparse-region runs; see PARITY_RUN §4).
+    """
+    from spinnerf_tpu.ops import hash_encode_win as hw
+    t = 1 << log2_table_size
+    region_bits, _, _ = hw.region_geometry(t)
+    r = 1 << region_bits
+    if r <= 1:
+        return None
+    rres = 1 << (region_bits // 3)
+    rc = np.clip((np.asarray(x01, np.float64) * rres).astype(np.int64),
+                 0, rres - 1)
+
+    def spread(v):
+        out = np.zeros_like(v)
+        for b in range(9):
+            out |= ((v >> b) & 1) << (3 * b)
+        return out
+
+    reg = spread(rc[:, 0]) | (spread(rc[:, 1]) << 1) | (spread(rc[:, 2]) << 2)
+    counts = np.bincount(reg, minlength=r).astype(np.float64)
+    target = t * (counts + 1e-3) / float(counts.sum() + r * 1e-3)
+    # round DOWN to powers of two (sum <= t + r), then fix up with two
+    # MONOTONE passes; `normalize_caps` only requires sum <= t — unused
+    # tail entries are wasted capacity, never an indexing error
+    # cap regions at ONE page (not the 2-page window): a cap <= 2048 fits
+    # any min-page window regardless of the base's alignment, while a
+    # 4096-entry region fits only when page-aligned
+    caps = np.clip(np.exp2(np.floor(np.log2(np.maximum(target, 1.0)))),
+                   1, hw.PAGE_ENTRIES).astype(np.int64)
+    while int(caps.sum()) > t:          # shrink most over-allocated
+        ratio = caps / np.maximum(target, 1e-9)
+        i = int(np.argmax(np.where(caps > 1, ratio, -np.inf)))
+        caps[i] //= 2
+    budget = t - int(caps.sum())
+    while True:                          # grow most under-allocated
+        ratio = caps / np.maximum(target, 1e-9)
+        can = (caps <= budget) & (caps * 2 <= hw.PAGE_ENTRIES)
+        if not can.any():
+            break
+        i = int(np.argmin(np.where(can, ratio, np.inf)))
+        budget -= int(caps[i])
+        caps[i] *= 2
+    assert 0 < int(caps.sum()) <= t
+    return tuple(int(c) for c in caps)
+
+
 def level_resolutions(n_levels: int, base_res: int, finest_res: float):
     """Per-level grid resolutions N_l = floor(base * b^l) with
     b = exp2(log2(finest/base) / (L-1))."""
@@ -60,9 +119,11 @@ class HashGridEncoding(nn.Module):
         fast on TPU at small tables, but O(T) MXU work per point.
       - "win": Z-curve-sorted windowed Pallas kernels
         (`ops/hash_encode_win.py`) — O(window) per point, the fast path at
-        the reference-default 2^19 table. Uses a locality-preserving Morton
-        hash instead of the XOR-prime hash (a documented collision-pattern
-        change; instant-ngp trains through collisions by construction).
+        the reference-default 2^19 table. Fine levels use the position-
+        region hash (XOR-prime mixing within Z-window-local regions — a
+        documented collision-pattern change; instant-ngp trains through
+        collisions by construction). Small batches take the exact-gather
+        fallback automatically (`hash_encode_win.N_WINDOWED_MIN`).
       - "win_xla": the windowed path's bit-identical XLA oracle (CPU
         reference for "win").
       - "xla": plain gather / scatter-add with the reference's XOR-prime
@@ -78,6 +139,11 @@ class HashGridEncoding(nn.Module):
     finest_res: float = 2048.0
     compute_dtype: jnp.dtype = jnp.bfloat16
     impl: str = "auto"
+    # density-calibrated per-region table capacities for the windowed
+    # position-region hash (`hash_encode_win.normalize_caps`); None =
+    # uniform split. Static (affects index semantics -> must be identical
+    # at train and render; recompute deterministically on restore).
+    region_caps: tuple | None = None
 
     def corner_indices_weights(self, x):
         """x: [N, 3] in [0, 1] -> (idx [L, 8, N] int32, w [L, 8, N] f32).
@@ -162,18 +228,22 @@ class HashGridEncoding(nn.Module):
                 n_pad = -(-n // hw._B) * hw._B
                 xt_s, perm, inv_perm, *extra_s = hw.sort_perm(
                     x, float(max(resolutions)), n_pad, extra=sorted_extra)
-                if impl == "win":
+                if impl == "win" and n_pad >= hw.N_WINDOWED_MIN:
                     # fused-geometry kernel: corner indices/weights are
                     # rebuilt in-kernel; only the [L, NB] window pages are
                     # computed host-side (via a fused min-reduction)
-                    pages = hw.window_pages(xt_s, resolutions, t)
+                    pages = hw.window_pages(xt_s, resolutions, t,
+                                            self.region_caps)
                     out = hw.hash_encode_win_fused(
-                        table, xt_s, tuple(resolutions), pages)
+                        table, xt_s, tuple(resolutions), pages,
+                        region_caps=self.region_caps)
                 else:
+                    # small batches (and the CPU path): exact gather with
+                    # the same index function — no window aliasing, and
+                    # XLA's serialized gather is cheap at this size
                     idx, w = hw.corner_indices_weights_win(
-                        xt_s, resolutions, t)
-                    pages, _ = hw.window_offsets(idx, t)
-                    out = hw.hash_encode_win_xla(table, idx, w, pages)
+                        xt_s, resolutions, t, self.region_caps)
+                    out = hw.hash_encode_exact(table, idx, w)
                 return (out.astype(self.compute_dtype), perm, inv_perm,
                         tuple(extra_s))
             out = hw.encode_win(table, x, resolutions,
@@ -219,6 +289,7 @@ class HashGridField(nn.Module):
     semantic: bool = False
     compute_dtype: jnp.dtype = jnp.bfloat16
     impl: str = "auto"
+    region_caps: tuple | None = None
 
     def _heads(self, enc, d, dtype):
         """Sigma + color MLP heads over encoded features (pointwise: runs
@@ -265,7 +336,8 @@ class HashGridField(nn.Module):
             n_levels=self.n_levels, features=self.features,
             log2_table_size=self.log2_table_size, base_res=self.base_res,
             finest_res=self.finest_res_per_unit * self.bound,
-            compute_dtype=dtype, impl=self.impl, name="encoder")
+            compute_dtype=dtype, impl=self.impl,
+            region_caps=self.region_caps, name="encoder")
 
         vd = jnp.broadcast_to(viewdirs[..., None, :], pts.shape[:-1] + (3,))
 

@@ -8,27 +8,35 @@ This module restores O(1)-per-access cost the TPU way:
 1. **Sort points along a Z-order curve** (54-bit Morton key as two int32
    lanes, `lax.sort` with num_keys=2 — measured 2.3 ms for 786k points on
    v5e). Consecutive points become spatial neighbours.
-2. **Locality-preserving hash**: level index = low 27 Morton bits of the
-   level's cell coords, masked to the table size, instead of instant-ngp's
-   XOR-prime hash. Spatially adjacent cells now map to nearby table entries,
-   so a block of sorted points touches a compact index *window*. (A hash
-   grid trains through collisions by construction — instant-ngp §4 — so the
-   collision PATTERN is a free design axis; this choice trades the CUDA
-   hash for one the MXU can exploit. Collision rate is the same O(cells/T).)
+2. **Position-region hash** (`corner_indices_weights_win`): coarse levels
+   (collision-free in 27 Morton bits) index by cell Morton; fine levels by
+   `region(point) base + xor_prime_hash(cell) & cap`, where the region is
+   a PREFIX of the point's sort key. All 8 corners of a point share its
+   region, consecutive sorted points have equal-or-adjacent regions, and a
+   region's entries fit one kernel window — so a block of sorted points
+   touches a compact index *window* BY CONSTRUCTION, batch-independently,
+   on real ray-sample distributions (<1% fine-level corner aliasing at
+   training shapes). (An earlier folded-Morton index keyed fine cells by
+   their low Morton bits, which are pseudo-random across a block at real
+   point spreads: 68-94% of fine corners aliased batch-DEPENDENTLY,
+   costing ~9 dB vs an XOR-hash control — PARITY_RUN §4. Collisions
+   themselves are fine — instant-ngp §4 trains through them — but the
+   collision pattern must not depend on the batch.)
 3. **Windowed one-hot matmuls**: each 512-point block multiplies against a
    2-page window (2x2048 entries = 64 packed rows) of the level table that
    Pallas DMAs in via a scalar-prefetched page id — 128x less MXU work than
-   the dense kernel at 2^19. The rare corner whose offset exceeds the
-   window (Z-curve discontinuities; measured <1% at training point
-   distributions, see `tests/test_hash_encode_win.py`) is aliased to
-   `offset mod 4096` inside the window — one extra deterministic collision,
-   identical in forward and backward.
+   the dense kernel at 2^19. The rare out-of-window corner (region-boundary
+   blocks) is aliased to `offset mod 4096` inside the window — one extra
+   deterministic collision, identical in forward and backward.
 4. **Backward**: per-block window gradients are accumulated straight into
    an HBM gradient table with in-kernel async DMA (sequential TPU grid =>
    no races); blocks' windows may overlap arbitrarily.
+5. **Small batches** (`N < N_WINDOWED_MIN`: too few blocks for window
+   locality) fall back to `hash_encode_exact` — XLA gather with the SAME
+   index function, zero aliasing, cheap at that size.
 
 The XLA oracle (`hash_encode_win_xla`) reproduces the window-clamp
-semantics bit-exactly and is the CPU fallback and test reference.
+semantics bit-exactly and is the kernel test reference.
 """
 from __future__ import annotations
 
@@ -39,6 +47,11 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# instant-ngp's spatial-hash primes (`run_nerf_helpers_tcnn.py` semantics,
+# shared with models/hashgrid.py) — the in-region mixing of the fine-level
+# position-region hash (`corner_indices_weights_win`)
+_PRIMES = (1, 2654435761, 805459861)
 
 # points per kernel block (lanes of every point-indexed tile)
 _B = 512
@@ -362,51 +375,61 @@ hash_encode_win.defvjp(_win_fwd_rule, _win_bwd_rule)
 # ~1.5% of the block's existing VPU work, in exchange for dropping both
 # 800 MB streams and the XLA prep stage entirely.
 
-def _corner_geom(xt, res_l, base, log2t: int, mask_t):
+def _corner_geom(xt, bc, res_l, dense_l, base, t: int):
     """In-kernel corner window-offsets + trilinear weights for one
     (level, block): bit-identical to `corner_indices_weights_win` followed
     by `window_offsets`'s off computation on the same inputs (same f32 op
     order, same uint32 lane math; `& (WINDOW_ENTRIES-1)` equals the host's
     floor-mod on int32 for a power-of-two window).
 
-    xt: [3, B] f32 Z-sorted block coords; res_l: scalar f32 level scale;
-    base: scalar int32 window start entry (page * PAGE_ENTRIES).
+    xt: [3, B] f32 Z-sorted block coords; bc: [2, B] f32 per-point region
+    (entry base, capacity mask) from the host's `region_lookup` (values are
+    f32-exact ints < 2^24); res_l: scalar f32 level scale; dense_l: scalar
+    int32, 1 if this level is in the injective-morton regime (host:
+    `res <= res_dense`); base: scalar int32 window start entry
+    (page * PAGE_ENTRIES).
     Returns ([8] of [1, B] int32 in-window offsets, [8] of [1, B] f32 w).
     """
-    k_fold = jnp.uint32(2246822519)
-    k_hi = jnp.uint32(2654435761)
+    p1 = jnp.uint32(_PRIMES[1])
+    p2 = jnp.uint32(_PRIMES[2])
     xs = xt * res_l
     x0f = jnp.floor(xs)
     frac = xs - x0f
     # Mosaic has no f32->u32 convert; f32->i32->u32 is exact here (coords
     # are < 2^18) and bitwise-identical to the host's direct u32 cast
     x0 = x0f.astype(jnp.int32).astype(jnp.uint32)
+    rbase = bc[0:1, :].astype(jnp.int32).astype(jnp.uint32)   # [1, B]
+    capm = bc[1:2, :].astype(jnp.int32).astype(jnp.uint32)    # [1, B]
+    use_dense = dense_l > 0
     sp_lo = [[_spread9(x0[a:a + 1, :] + jnp.uint32(d)) << a for a in range(3)]
              for d in (0, 1)]
-    sp_hi = [[_spread9((x0[a:a + 1, :] + jnp.uint32(d)) >> 9) << a
-              for a in range(3)] for d in (0, 1)]
     fr = [[1.0 - frac[a:a + 1, :], frac[a:a + 1, :]] for a in range(3)]
     offs, ws = [], []
     for ci in range(8):
         i, j, k = (ci >> 2) & 1, (ci >> 1) & 1, ci & 1
         m = sp_lo[i][0] | sp_lo[j][1] | sp_lo[k][2]
-        hi = sp_hi[i][0] | sp_hi[j][1] | sp_hi[k][2]
-        mixed = m ^ ((m >> log2t) * k_fold) ^ (hi * k_hi)
-        idx_c = (mixed & mask_t).astype(jnp.int32)
+        cx = x0[0:1, :] + jnp.uint32(i)
+        cy = x0[1:2, :] + jnp.uint32(j)
+        cz = x0[2:3, :] + jnp.uint32(k)
+        hashed = rbase + ((cx ^ (cy * p1) ^ (cz * p2)) & capm)
+        idx_c = jnp.where(use_dense, m, hashed).astype(jnp.int32)
         offs.append((idx_c - base) & jnp.int32(WINDOW_ENTRIES - 1))
         ws.append(fr[0][i] * fr[1][j] * fr[2][k])
     return offs, ws
 
 
-def _win_fwd_fused_kernel(log2t: int, mask_t: int, pages_ref, res_ref,
-                          xt_ref, tab0_ref, tab1_ref, out_ref):
+def _win_fwd_fused_kernel(t: int, pages_ref, res_ref,
+                          xt_ref, bc_ref, tab0_ref, tab1_ref, out_ref):
     """Fused-geometry forward: `_win_fwd_kernel`'s gather/blend loop with
-    off/w rebuilt in-kernel from the coords block."""
+    off/w rebuilt in-kernel from the coords block. res_ref is [L, 2]:
+    (level scale, dense-morton-regime flag); bc_ref the [2, B] per-point
+    region base/capmask block."""
     l = pl.program_id(0)
     j = pl.program_id(1)
     base = pages_ref[l, j] * PAGE_ENTRIES
-    offs, ws = _corner_geom(xt_ref[...], res_ref[l].astype(jnp.float32),
-                            base, log2t, jnp.uint32(mask_t))
+    offs, ws = _corner_geom(xt_ref[...], bc_ref[...],
+                            res_ref[l, 0].astype(jnp.float32),
+                            res_ref[l, 1], base, t)
     tabt = jnp.concatenate([tab0_ref[0], tab1_ref[0]],
                            axis=0).T.astype(jnp.bfloat16)     # [128, 64]
     iota_pair = jax.lax.broadcasted_iota(jnp.int32, (128, _B), 0) >> 1
@@ -425,8 +448,8 @@ def _win_fwd_fused_kernel(log2t: int, mask_t: int, pages_ref, res_ref,
     out_ref[0] = jnp.concatenate([f0, f1], axis=0)            # [2, B]
 
 
-def _win_bwd_fused_kernel(log2t: int, mask_t: int, pages_ref, res_ref,
-                          xt_ref, g_ref, dtab_ref):
+def _win_bwd_fused_kernel(t: int, pages_ref, res_ref,
+                          xt_ref, bc_ref, g_ref, dtab_ref):
     """Fused-geometry backward: `_win_bwd_kernel`'s accumulate loop with
     off/w rebuilt in-kernel."""
     l = pl.program_id(0)
@@ -437,8 +460,9 @@ def _win_bwd_fused_kernel(log2t: int, mask_t: int, pages_ref, res_ref,
         dtab_ref[0] = jnp.zeros_like(dtab_ref[0])
 
     page = pages_ref[l, b]
-    offs, ws = _corner_geom(xt_ref[...], res_ref[l].astype(jnp.float32),
-                            page * PAGE_ENTRIES, log2t, jnp.uint32(mask_t))
+    offs, ws = _corner_geom(xt_ref[...], bc_ref[...],
+                            res_ref[l, 0].astype(jnp.float32),
+                            res_ref[l, 1], page * PAGE_ENTRIES, t)
     row0 = page * _PAGE_ROWS
     iota_pair = jax.lax.broadcasted_iota(jnp.int32, (128, _B), 0) >> 1
     parity = jax.lax.broadcasted_iota(jnp.int32, (128, _B), 0) & 1
@@ -457,36 +481,70 @@ def _win_bwd_fused_kernel(log2t: int, mask_t: int, pages_ref, res_ref,
     dtab_ref[0, pl.ds(row0, _WIN_ROWS), :] += upd
 
 
-def window_pages(xt_s, resolutions, t: int):
+# Below this many (padded) points the windowed kernels lose their premise:
+# too few blocks to keep each block's Z-span inside a handful of regions,
+# so window aliasing grows — while XLA's serialized gather/scatter is still
+# cheap. The model path switches to `hash_encode_exact` under this bound.
+N_WINDOWED_MIN = 1 << 17
+
+
+def hash_encode_exact(table, idx, weights):
+    """Exact (window-free) encode with the SAME index function as the
+    windowed kernels — the small-batch fallback (and the CPU model path):
+    XLA gather + weighted sum, O(1) per access, differentiable wrt table
+    (scatter-add backward — serialized on TPU, which is why this only runs
+    under `N_WINDOWED_MIN`). Returns [N, L*F] level-major, the windowed
+    contract, with zero aliasing."""
+    l, t, f = table.shape
+    n = idx.shape[2]
+    feats = jnp.take_along_axis(
+        table, idx.reshape(l, -1)[..., None], axis=1).reshape(l, 8, n, f)
+    out = jnp.sum(feats * weights[..., None].astype(feats.dtype), axis=1)
+    return out.transpose(1, 0, 2).reshape(n, l * f)
+
+
+def window_pages(xt_s, resolutions, t: int, region_caps=None):
     """[L, N/_B] window pages straight from sorted coords. The full
     [L, 8, N] corner-index array exists only inside XLA's fused
     min-reduction here (w's compute chain is dead code) — nothing
     block-sized is materialized to HBM."""
-    idx, _ = corner_indices_weights_win(xt_s, resolutions, t)
+    idx, _ = corner_indices_weights_win(xt_s, resolutions, t, region_caps)
     return window_offsets(idx, t)[0]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 4))
-def hash_encode_win_fused(table, xt_s, resolutions, pages, interpret=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 4, 5))
+def hash_encode_win_fused(table, xt_s, resolutions, pages, interpret=False,
+                          region_caps=None):
     """Sorted-window hash-grid encode with in-kernel corner geometry.
 
     Same contract and results as `hash_encode_win(table, idx, w, pages)`
-    where `idx, w = corner_indices_weights_win(xt_s, resolutions, t)` —
-    but off/w never exist outside the kernel. Differentiable wrt `table`
-    only (sample positions are not trainable in this pipeline).
+    where `idx, w = corner_indices_weights_win(xt_s, resolutions, t,
+    region_caps)` — but off/w never exist outside the kernel.
+    Differentiable wrt `table` only (sample positions are not trainable in
+    this pipeline).
 
     Args:
       table: [L, T, F=2] float32.
       xt_s: [3, N] f32 Z-SORTED coords in [0,1] (from `sort_perm`),
         N a multiple of _B.
       resolutions: static tuple of per-level int resolutions.
-      pages: [L, N/_B] int32 from `window_pages(xt_s, resolutions, T)`.
+      pages: [L, N/_B] int32 from `window_pages(xt_s, resolutions, T,
+        region_caps)`.
+      region_caps: static tuple of per-region capacities (see
+        `normalize_caps`); None = uniform.
     """
-    out, _ = _win_fused_impl(table, xt_s, resolutions, pages, interpret)
+    out, _ = _win_fused_impl(table, xt_s, resolutions, pages, interpret,
+                             region_caps)
     return out
 
 
-def _win_fused_impl(table, xt_s, resolutions, pages, interpret):
+def _point_bc(xt_s, t, region_caps):
+    """[2, N] f32 per-point (region base, capacity mask) kernel input."""
+    base, capm = region_lookup(region_ids(xt_s, t), t, region_caps)
+    return jnp.stack([base, capm]).astype(jnp.float32)
+
+
+def _win_fused_impl(table, xt_s, resolutions, pages, interpret, region_caps):
     l, t, f = table.shape
     if f != 2:
         raise ValueError("windowed hash encode supports features=2")
@@ -495,8 +553,8 @@ def _win_fused_impl(table, xt_s, resolutions, pages, interpret):
     n = xt_s.shape[1]
     if n % _B:
         raise ValueError(f"point count must be a multiple of {_B}")
-    log2t = t.bit_length() - 1
-    res_arr = jnp.asarray(resolutions, jnp.int32)
+    res_arr = _res_scalars(resolutions, t)
+    bc = _point_bc(xt_s, t, region_caps)
     tabt = _pack(table)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -504,6 +562,8 @@ def _win_fused_impl(table, xt_s, resolutions, pages, interpret):
         grid=(l, n // _B),
         in_specs=[
             pl.BlockSpec((3, _B), lambda i, j, pages, res: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, _B), lambda i, j, pages, res: (0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, _PAGE_ROWS, 128),
                          lambda i, j, pages, res: (i, pages[i, j], 0),
@@ -515,24 +575,33 @@ def _win_fused_impl(table, xt_s, resolutions, pages, interpret):
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
-        functools.partial(_win_fwd_fused_kernel, log2t, t - 1),
+        functools.partial(_win_fwd_fused_kernel, t),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((l, 2, n), jnp.float32),
         interpret=interpret,
-    )(pages, res_arr, xt_s, tabt, tabt)
+    )(pages, res_arr, xt_s, bc, tabt, tabt)
     return out.reshape(l * 2, n).T, ((l, t, f), xt_s, pages)
 
 
-def _win_fused_fwd_rule(table, xt_s, resolutions, pages, interpret):
-    return _win_fused_impl(table, xt_s, resolutions, pages, interpret)
+def _res_scalars(resolutions, t: int):
+    """[L, 2] int32 scalar-prefetch rows: (level scale, dense-regime flag)."""
+    _, _, res_dense = region_geometry(t)
+    return jnp.asarray([[int(r), int(r <= res_dense)] for r in resolutions],
+                       jnp.int32)
 
 
-def _win_fused_bwd_rule(resolutions, interpret, res, g):
+def _win_fused_fwd_rule(table, xt_s, resolutions, pages, interpret,
+                        region_caps):
+    return _win_fused_impl(table, xt_s, resolutions, pages, interpret,
+                           region_caps)
+
+
+def _win_fused_bwd_rule(resolutions, interpret, region_caps, res, g):
     (l, t, f), xt_s, pages = res
     r = t * f // 128
     n = xt_s.shape[1]
-    log2t = t.bit_length() - 1
-    res_arr = jnp.asarray(resolutions, jnp.int32)
+    res_arr = _res_scalars(resolutions, t)
+    bc = _point_bc(xt_s, t, region_caps)
     g_l = g.T.reshape(l, 2, n).astype(jnp.float32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -541,71 +610,162 @@ def _win_fused_bwd_rule(resolutions, interpret, res, g):
         in_specs=[
             pl.BlockSpec((3, _B), lambda i, j, pages, res: (0, j),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, _B), lambda i, j, pages, res: (0, j),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2, _B), lambda i, j, pages, res: (i, 0, j),
                          memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((1, r, 128), lambda i, j, pages, res: (i, 0, 0),
                                memory_space=pltpu.VMEM),
     )
     dpacked = pl.pallas_call(
-        functools.partial(_win_bwd_fused_kernel, log2t, t - 1),
+        functools.partial(_win_bwd_fused_kernel, t),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((l, r, 128), jnp.float32),
         interpret=interpret,
-    )(pages, res_arr, xt_s, g_l)
+    )(pages, res_arr, xt_s, bc, g_l)
     return dpacked.reshape(l, t, f), None, None
 
 
 hash_encode_win_fused.defvjp(_win_fused_fwd_rule, _win_fused_bwd_rule)
 
 
-def corner_indices_weights_win(xt, resolutions, t: int):
-    """Locality-preserving corner indices for the windowed kernel.
+def region_ids(xt, t: int):
+    """[N] uint32 region of each point: Morton code of its coarse cell on
+    the cubic region grid (a PREFIX of the sort key, so region ids are
+    monotone along the Z-sorted stream). xt: [3, N] in [0,1]."""
+    region_bits, _, _ = region_geometry(t)
+    rres = float(1 << (region_bits // 3))
+    rc = jnp.clip((xt * rres).astype(jnp.uint32), 0,
+                  jnp.uint32((1 << (region_bits // 3)) - 1))
+    return morton27(rc[0], rc[1], rc[2])
+
+
+def normalize_caps(t: int, region_caps):
+    """Validated per-region capacities. None -> uniform split of t over
+    the region grid. Returns a tuple of R ints: powers of two in
+    [1, WINDOW_ENTRIES], summing to at most t (entries past the sum are
+    simply unused table capacity)."""
+    region_bits, cap_bits, _ = region_geometry(t)
+    r = 1 << region_bits
+    if region_caps is None:
+        return (1 << cap_bits,) * r
+    caps = tuple(int(c) for c in region_caps)
+    if len(caps) != r:
+        raise ValueError(f"region_caps must have {r} entries, got {len(caps)}")
+    if not 0 < sum(caps) <= t:
+        raise ValueError(f"region_caps must sum to <= {t}, got {sum(caps)}")
+    for c in caps:
+        if c < 1 or c > WINDOW_ENTRIES or (c & (c - 1)):
+            raise ValueError(f"caps must be powers of two in "
+                             f"[1, {WINDOW_ENTRIES}]; got {c}")
+    return caps
+
+
+def region_lookup(region, t: int, region_caps=None):
+    """(base [N] u32, capmask [N] u32) for per-point regions via a one-hot
+    f32 matmul (values < 2^24 are f32-exact; a serialized jnp.take gather
+    would cost ~60 ms at training N on TPU)."""
+    caps = normalize_caps(t, region_caps)
+    r = len(caps)
+    base_np = np.concatenate([[0], np.cumsum(caps)[:-1]]).astype(np.float32)
+    vals = jnp.asarray(np.stack([base_np,
+                                 np.asarray(caps, np.float32) - 1.0]))
+    iota = jnp.arange(r, dtype=jnp.uint32)[:, None]         # [R, 1]
+    onehot = (iota == region[None, :]).astype(jnp.float32)  # [R, N]
+    out = jax.lax.dot_general(vals, onehot,
+                              dimension_numbers=(((1,), (0,)), ((), ())))
+    return out[0].astype(jnp.uint32), out[1].astype(jnp.uint32)
+
+
+def region_geometry(t: int):
+    """(region_bits, cap_bits, collision-free resolution bound) for table
+    size t. Regions are cubic (region_bits divisible by 3), the FEWEST that
+    keep a region's cap = 2^cap_bits inside one kernel window — so a
+    region's entries always fit the 2-page DMA. t=2^19 (the reference
+    default): 512 regions x 1024 entries."""
+    log2t = t.bit_length() - 1
+    win_bits = WINDOW_ENTRIES.bit_length() - 1            # 12
+    region_bits = 3 * (-(-max(log2t - win_bits, 0) // 3))  # ceil to cubic
+    cap_bits = log2t - region_bits
+    res_dense = (1 << (log2t // 3)) - 1
+    return region_bits, cap_bits, res_dense
+
+
+def corner_indices_weights_win(xt, resolutions, t: int, region_caps=None):
+    """Window-local corner indices for the sorted-window kernel.
 
     xt: [3, N] in [0,1], coords-major (points SORTED along the Z-curve —
     the layout `sort_perm` emits; [N, 3] would lane-pad 3->128). Returns
     (idx [L, 8, N] int32, w [L, 8, N] f32) with trilinear weights identical
-    to `HashGridEncoding.corner_indices_weights` but the hash replaced by
+    to `HashGridEncoding.corner_indices_weights` but the index function
+    replaced by a two-regime scheme:
 
-        m   = morton27(c)                      # 27-bit Z-index, low 9b/axis
-        idx = (m ^ (m >> log2 t) * K1 ^ morton27(c >> 9) * K2) mod t
+    COARSE levels (res <= 2^floor(log2 t / 3) - 1; 63 at the default 2^19):
+        idx = morton27(cell)            # injective AND Z-window-local
 
-    The Z-index is window-local for spatially adjacent cells. The two XOR
-    terms fold the out-of-range bits back in pseudo-randomly; each is
-    constant across a sorted block's neighbourhood, so they shift the whole
-    window instead of breaking it. The mapping is injective (collision-free)
-    while m < t, i.e. for level resolutions <= 2^floor(log2(t)/3) - 1
-    (res <= 63 at the reference-default t=2^19); the reference's dense
-    indexing stays collision-free slightly longer (up to (r+1)^3 <= t,
-    res 79 at 2^19) but is not Z-local — for the in-between levels this
-    trades a few extra pseudo-random collisions for MXU-windowable access
-    (instant-ngp §4: hash grids train through collisions by construction;
-    the collision PATTERN is a free design axis).
+    FINE levels (everything above) — the POSITION-REGION hash:
+        region = morton27(floor(x * 2^(rb/3)))        # rb = 9 at 2^19
+        idx    = region * 2^cb + (xor_prime_hash(cell) & (2^cb - 1))
+
+    where region comes from the POINT's position (a prefix of its sort
+    key), not the corner cell, and cb = log2 t - rb (1024 entries/region
+    at 2^19). Properties this buys:
+
+    - Z-window-locality BY CONSTRUCTION: all 8 corners of a point share
+      its region; consecutive Z-sorted points have equal-or-adjacent
+      regions, so a 512-point block's indices span a few contiguous
+      2^cb-entry ranges <= the kernel's 4096-entry window. (The previous
+      folded-Morton index keyed fine cells by their LOW 9 Morton bits,
+      which are pseudo-random across a block at realistic ray-sample
+      spreads — measured 68-94%% of fine-level corners aliased by the
+      window clamp, batch-DEPENDENTLY, costing ~9 dB vs an XOR-hash
+      control at equal capacity; see PARITY_RUN §4.)
+    - Batch-independence: idx is a pure function of (point position,
+      cell) — no dependence on which other points share the batch.
+    - Collisions are confined within a region (cells of one region
+      compete for its 2^cb entries via the reference's XOR-prime hash,
+      `run_nerf_helpers_tcnn.py` semantics); region load follows sample
+      density rather than being uniform — the remaining gap to an ideal
+      allocation-calibrated map (instant-ngp §4: hash grids train
+      through collisions; the PATTERN is a free design axis).
+    - A cell read from points in different regions (region-boundary
+      cells) resolves to different entries — equivalent to a hard
+      spatial partition of the hash table (block-hash grids), a known
+      benign discontinuity at 1/8-scene granularity.
     """
     if t & (t - 1):
         raise ValueError("table size must be a power of two")
-    log2t = t.bit_length() - 1
-    mask = jnp.uint32(t - 1)
-    k_fold = jnp.uint32(2246822519)
-    k_hi = jnp.uint32(2654435761)
+    region_bits, cap_bits, res_dense = region_geometry(t)
+    p1 = jnp.uint32(_PRIMES[1])
+    p2 = jnp.uint32(_PRIMES[2])
     scales = jnp.asarray(resolutions, xt.dtype)
     xs = scales[:, None, None] * xt[None]                  # [L, 3, N]
     x0f = jnp.floor(xs)
     frac = xs - x0f
     x0 = x0f.astype(jnp.uint32)
+    # the point's region: prefix of the sort key (monotone along the
+    # Z-sorted stream). [N], shared by all levels and corners. Its base
+    # entry + in-region hash mask come from the (possibly calibrated)
+    # capacity tables via a one-hot matmul — NOT jnp.take, whose serialized
+    # TPU gather would cost ~60 ms at training point counts.
+    region = region_ids(xt, t)                             # [N] uint32
+    base, capm = region_lookup(region, t, region_caps)     # [N] each, u32
+    # dense-morton regime per level (static python bools)
+    dense_l = jnp.asarray([r <= res_dense for r in resolutions])[:, None]
     # the 8 corners take only TWO distinct values per axis (c and c+1):
-    # spread the bits 2x3 times (low 9b) + 2x3 (high 9b) instead of 8x3+8x3
-    # — the spread9 chains are ~2/3 of this function's lane math
+    # spread the bits 2x3 times instead of 8x3 for the morton regime
     sp_lo = [[_spread9(x0[:, a, :] + np.uint32(d)) << a for a in range(3)]
              for d in (0, 1)]                              # [2][3] of [L, N]
-    sp_hi = [[_spread9((x0[:, a, :] + np.uint32(d)) >> 9) << a
-              for a in range(3)] for d in (0, 1)]
     idx_c, w_c = [], []
     for ci in range(8):
         i, j, k = (ci >> 2) & 1, (ci >> 1) & 1, ci & 1
-        m = sp_lo[i][0] | sp_lo[j][1] | sp_lo[k][2]
-        hi = sp_hi[i][0] | sp_hi[j][1] | sp_hi[k][2]
-        mixed = m ^ ((m >> log2t) * k_fold) ^ (hi * k_hi)
-        idx_c.append((mixed & mask).astype(jnp.int32))
+        m = sp_lo[i][0] | sp_lo[j][1] | sp_lo[k][2]        # [L, N]
+        cx = x0[:, 0, :] + np.uint32(i)
+        cy = x0[:, 1, :] + np.uint32(j)
+        cz = x0[:, 2, :] + np.uint32(k)
+        hashed = base[None, :] + ((cx ^ (cy * p1) ^ (cz * p2))
+                                  & capm[None, :])         # [L, N]
+        idx_c.append(jnp.where(dense_l, m, hashed).astype(jnp.int32))
         wx = frac[:, 0, :] if i else 1.0 - frac[:, 0, :]
         wy = frac[:, 1, :] if j else 1.0 - frac[:, 1, :]
         wz = frac[:, 2, :] if k else 1.0 - frac[:, 2, :]
@@ -680,14 +840,13 @@ def encode_win(table, x, resolutions, *, interpret=False, use_kernel=True):
     n = x.shape[0]
     n_pad = -(-n // _B) * _B
     xt_s, perm, inv_perm = sort_perm(x, float(max(resolutions)), n_pad)
-    if use_kernel:
+    if use_kernel and n_pad >= N_WINDOWED_MIN:
         pages = window_pages(xt_s, resolutions, t)
         out = hash_encode_win_fused(table, xt_s, tuple(resolutions), pages,
                                     interpret)
     else:
         idx, w = corner_indices_weights_win(xt_s, resolutions, t)
-        pages, _ = window_offsets(idx, t)
-        out = hash_encode_win_xla(table, idx, w, pages)
+        out = hash_encode_exact(table, idx, w)
     return permute_rows(out, inv_perm, perm)[:n]          # [N, L*F]
 
 

@@ -73,6 +73,33 @@ def build_model(cfg: Config, semantic: bool = False, fine: bool = False):
                          compute_dtype=jnp.dtype(cfg.compute_dtype))
 
 
+def _scene_region_caps(bank, model):
+    """Calibrate the windowed hash's per-region capacities from the ray
+    bank: a deterministic stratified pixel/depth grid over the training
+    poses approximates the training-point density (any caps are a VALID
+    index function — miscalibration only raises window aliasing, never
+    wrong results — so the NDC approximation of using world rays is fine).
+    """
+    from spinnerf_tpu.models.hashgrid import calibrate_region_caps
+    h, w, focal = bank.hwf
+    poses = np.asarray(bank.poses)
+    ys = np.linspace(0.5, h - 0.5, 24)
+    xs = np.linspace(0.5, w - 0.5, 24)
+    xx, yy = np.meshgrid(xs, ys)
+    dirs = np.stack([(xx - w * 0.5) / focal, -(yy - h * 0.5) / focal,
+                     -np.ones_like(xx)], -1)                # [24, 24, 3]
+    ts = (np.linspace(bank.near, bank.far, 12, endpoint=False)
+          + (bank.far - bank.near) / 24.0)
+    pts = []
+    for p in poses:
+        rd = dirs @ p[:3, :3].T
+        pts.append((p[:3, 3] + ts[:, None, None, None] * rd[None])
+                   .reshape(-1, 3))
+    x01 = np.clip((np.concatenate(pts) + model.bound) / (2.0 * model.bound),
+                  0.0, 1.0)
+    return calibrate_region_caps(x01, model.log2_table_size)
+
+
 def render_config(cfg: Config, *, train: bool) -> RenderConfig:
     return RenderConfig(
         n_samples=cfg.N_samples,
@@ -156,6 +183,16 @@ class Trainer:
 
         # --- model + step ---
         self.model = build_model(cfg, semantic=cfg.mvseg)
+        from spinnerf_tpu.models.hashgrid import HashGridField
+        if isinstance(self.model, HashGridField) and cfg.hash_region_calib:
+            # opt-in: calibrate the windowed hash's per-region table
+            # capacities to this scene's ray-sample density (deterministic
+            # given the bank, so checkpoint restore recomputes identical
+            # caps). The uniform default already measures <1%% fine-level
+            # window aliasing at training batch shapes (PARITY_RUN §4);
+            # calibration is for heavily concentrated scenes.
+            self.model = self.model.clone(
+                region_caps=_scene_region_caps(self.bank, self.model))
         # the fine network may be sized separately (`run_nerf.py:417`)
         self.fine_model = self.model
         if (cfg.no_tcnn and (cfg.netdepth_fine != cfg.netdepth

@@ -56,9 +56,12 @@ COMMON_FLAGS = [
     "--i_video", "1000000", "--i_weights", "1000000",
     "--render_factor", "1",
     # the perceptual term (`run_nerf.py:1523-1561`): 2 random train views
-    # per iter, patch 1/4 of the frame, matched metric via the shim
+    # per iter, matched metric via the shim. patch_len_factor 2 (not the
+    # full-scale default 4): the toy scene's 40x50 frames need >= 16-pixel
+    # patches to survive VGG16's four pools — 10x12 pools to 0x0 in BOTH
+    # implementations
     "--lpips", "--lpips_batch_size", "2",
-    "--lpips_render_factor", "1", "--patch_len_factor", "4",
+    "--lpips_render_factor", "1", "--patch_len_factor", "2",
 ]
 
 

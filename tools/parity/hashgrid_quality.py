@@ -111,6 +111,17 @@ def main():
                     help="optional hash-table L2 decay for the hashgrid arm "
                     "(`Config.table_wd`): the few-view regularizer when the "
                     "2^19 table dwarfs the scene's pixel count")
+    ap.add_argument("--hash-impl", default=None,
+                    help="`Config.hash_impl` override for the hashgrid arm. "
+                    "`xla` selects the classic instant-ngp XOR-prime hash "
+                    "(dense indexing where (r+1)^3 <= T) — the CONTROL arm "
+                    "isolating the custom Morton hash's collision pattern "
+                    "from table-capacity effects (viable at this scene's "
+                    "tiny point count; the windowed kernels exist because "
+                    "this path does not scale)")
+    ap.add_argument("--skip-mlp", action="store_true",
+                    help="reuse an existing mlp_run/mlp.log in the workdir "
+                    "(e.g. copied from a sibling run with identical flags)")
     ap.add_argument("--lrate-mlp", default="0.001",
                     help="matches the recorded PARITY_RUN MLP runs")
     ap.add_argument("--cpu", action="store_true",
@@ -128,13 +139,16 @@ def main():
         hash_flags = ["--lrate", args.lrate_hash]
         if args.table_wd is not None:
             hash_flags += ["--table_wd", args.table_wd]
+        if args.hash_impl is not None:
+            hash_flags += ["--hash_impl", args.hash_impl]
         times["hashgrid_wall_s"] = run_arm(
             ws, "hashgrid", args.iters, hash_flags, on_tpu=not args.cpu)
-        times["mlp_wall_s"] = run_arm(
-            ws, "mlp", args.iters,
-            ["--no_tcnn", "--netdepth", "8", "--netwidth", "128",
-             "--lrate", args.lrate_mlp, "--fused_mlp", "False"],
-            on_tpu=not args.cpu)
+        if not args.skip_mlp:
+            times["mlp_wall_s"] = run_arm(
+                ws, "mlp", args.iters,
+                ["--no_tcnn", "--netdepth", "8", "--netwidth", "128",
+                 "--lrate", args.lrate_mlp, "--fused_mlp", "False"],
+                on_tpu=not args.cpu)
 
     report = compare(ws, args.iters)
     report.update(times)
