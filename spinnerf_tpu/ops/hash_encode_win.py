@@ -87,8 +87,15 @@ def morton_sort_keys(x, finest_res: float):
 
     Sorting by (hi, lo) orders points along the Z-curve of the finest grid,
     which is what gives blocks their window locality at every level.
+
+    The sort grid is finest_res rounded UP to a power of two (<= 2^18): the
+    position-region hash requires the region grid (floor(x * 2^k)) to be a
+    bit-PREFIX of the sort key so region ids are monotone along the sorted
+    stream — under a non-power-of-two sort grid they are not (measured 32%%
+    fine-level window aliasing at 786k points vs 0.7%% fixed).
     """
-    res = min(float(finest_res), float(1 << 18))
+    res = float(1 << min(18, max(1, int(np.ceil(np.log2(
+        max(float(finest_res), 2.0)))))))
     c = jnp.clip((x * res).astype(jnp.uint32), 0, jnp.uint32(int(res) - 1))
     cx, cy, cz = c[:, 0], c[:, 1], c[:, 2]
     hi = morton27(cx >> 9, cy >> 9, cz >> 9)
@@ -687,7 +694,12 @@ def region_geometry(t: int):
     win_bits = WINDOW_ENTRIES.bit_length() - 1            # 12
     region_bits = 3 * (-(-max(log2t - win_bits, 0) // 3))  # ceil to cubic
     cap_bits = log2t - region_bits
-    res_dense = (1 << (log2t // 3)) - 1
+    # dense-morton regime only while the WHOLE level grid fits one kernel
+    # window: coarser-but-bigger grids (e.g. res 30-63 at 2^19) have
+    # occupancy GAPS along the Z-curve that blow per-block index spans
+    # (measured 12-25% aliased corners at res 30/56) — the region hash
+    # keeps those levels window-tight too
+    res_dense = 15                                        # (15+1)^3 = 4096
     return region_bits, cap_bits, res_dense
 
 

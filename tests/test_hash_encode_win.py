@@ -302,15 +302,15 @@ def test_fused_kernel_matches_exact_with_caps():
     assert np.quantile(gd, 0.999) < 0.02 * gscale
 
 
-def test_corner_indices_collision_free_when_morton_fits():
-    """For corner coords < 2^floor(log2(t)/3) the mapping is injective
-    (see corner_indices_weights_win docstring); just past that bound the
-    XOR-fold keeps collisions pseudo-random and rare, not systematic."""
+def test_corner_indices_regimes():
+    """Dense-morton levels (whole grid fits one window, res <= 15) are
+    INJECTIVE; region-hashed levels keep collisions rare while capacity
+    allows (the in-region XOR-prime mixing plus per-point regions)."""
     rng = np.random.RandomState(7)
     t = 1 << 19
     x = jnp.asarray(rng.rand(4096, 3).astype(np.float32))
 
-    res = 63           # corners <= 63 -> morton < 2^18 < t: injective
+    res = 15           # (15+1)^3 = one window: injective morton
     idx, w = hw.corner_indices_weights_win(x.T, [res], t)
     idx = np.asarray(idx)[0]                      # [8, N]
     cells = np.floor(np.asarray(x) * res).astype(np.int64)
@@ -318,15 +318,16 @@ def test_corner_indices_collision_free_when_morton_fits():
     assert len(np.unique(idx[0])) == len(np.unique(corner0))
     np.testing.assert_allclose(np.asarray(w)[0].sum(0), 1.0, atol=1e-5)
 
-    # res=70: dense indexing would still be collision-free ((r+1)^3 < t) but
-    # the folded morton is not; the extra collision rate must stay small
+    # res=70 is region-hashed: distinct cells must map to mostly distinct
+    # entries at this occupancy (~490 cells/region vs 1024-entry caps);
+    # point-region duplication of boundary cells can only ADD entries
     res = 70
     idx70 = np.asarray(hw.corner_indices_weights_win(x.T, [res], t)[0])[0]
     cells = np.floor(np.asarray(x) * res).astype(np.int64)
     corner0 = cells[:, 0] * (1 << 20) + cells[:, 1] * (1 << 10) + cells[:, 2]
     n_cells = len(np.unique(corner0))
     n_idx = len(np.unique(idx70[0]))
-    assert n_idx > 0.97 * n_cells, (n_idx, n_cells)
+    assert n_idx > 0.95 * n_cells, (n_idx, n_cells)
 
 
 def test_minimum_table_is_one_full_window():
