@@ -148,17 +148,18 @@ def main():
         extra[f"hashgrid{log2t}_rays_per_sec"] = round(rays_per_step / hdt, 1)
         extra[f"hashgrid{log2t}_step_ms"] = round(hdt * 1000, 1)
         if log2t == 19 and on_tpu:
-            # hashgrid MFU: issued-matmul utilization. Almost all MXU work
-            # is the windowed one-hot GATHER formulation (per point-corner-
-            # level: a [128,64]x[64,B] row gather => 128*64 MACs), not the
-            # tiny MLP heads — so this measures how hard the encode drives
-            # the MXU, not algorithmic efficiency. fwd per point:
-            # 8 corners * L levels * 8192 MACs; training ~= 3x fwd
-            # (fwd + bwd one-hot matmul + cotangent build).
+            # ISSUED-matmul utilization — deliberately NOT named "mfu":
+            # almost all MXU work is the windowed one-hot GATHER formulation
+            # (per point-corner-level: a [128,64]x[64,B] row gather =>
+            # 128*64 MACs counted as issued, 2 floats of it useful), not
+            # the tiny MLP heads. It measures how hard the encode drives
+            # the MXU; rays/s vs the flagship is the only honest efficiency
+            # metric for the hash grid. fwd per point: 8 corners * L levels
+            # * 8192 MACs; training ~= 3x fwd.
             gather_macs = 8 * 16 * 128 * 64
             mlp_macs = (32 * 64 + 64 * 16) + (31 * 64 + 64 * 64 + 64 * 3)
             hflops = 3 * 2 * (gather_macs + mlp_macs) * pts_per_step
-            extra["hashgrid19_mfu"] = round(
+            extra["hashgrid19_mxu_issued_util"] = round(
                 hflops / hdt / _peak_flops(jax.devices()[0]), 4)
 
     baseline = 25000.0  # est. reference A6000 target-rays/s (see docstring)

@@ -124,8 +124,11 @@ class HashGridEncoding(nn.Module):
         documented collision-pattern change; instant-ngp trains through
         collisions by construction). Small batches take the exact-gather
         fallback automatically (`hash_encode_win.N_WINDOWED_MIN`).
-      - "win_xla": the windowed path's bit-identical XLA oracle (CPU
-        reference for "win").
+      - "win_xla": the windowed index function through the exact-gather
+        fallback (`hash_encode_win.hash_encode_exact`) — the CPU reference
+        for "win"; it omits the kernel's window-clamp aliasing
+        (`hash_encode_win.hash_encode_win_xla` is the bit-identical
+        kernel test oracle).
       - "xla": plain gather / scatter-add with the reference's XOR-prime
         hash (CPU reference path for "mxu").
       - "auto": on TPU, "win" for any table over one window
@@ -247,7 +250,8 @@ class HashGridEncoding(nn.Module):
                 return (out.astype(self.compute_dtype), perm, inv_perm,
                         tuple(extra_s))
             out = hw.encode_win(table, x, resolutions,
-                                use_kernel=(impl == "win"))    # [N, L*F]
+                                use_kernel=(impl == "win"),
+                                region_caps=self.region_caps)  # [N, L*F]
             return out.astype(self.compute_dtype).reshape(
                 *shape, self.n_levels * self.features)
 

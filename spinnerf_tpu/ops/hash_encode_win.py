@@ -400,7 +400,9 @@ def _corner_geom(xt, bc, res_l, dense_l, base, t: int):
     p1 = jnp.uint32(_PRIMES[1])
     p2 = jnp.uint32(_PRIMES[2])
     xs = xt * res_l
-    x0f = jnp.floor(xs)
+    # clamp to the grid's last cell — bit-identical to the host path's
+    # boundary clamp in `corner_indices_weights_win` (same f32 op order)
+    x0f = jnp.minimum(jnp.floor(xs), res_l - 1.0)
     frac = xs - x0f
     # Mosaic has no f32->u32 convert; f32->i32->u32 is exact here (coords
     # are < 2^18) and bitwise-identical to the host's direct u32 cast
@@ -587,7 +589,10 @@ def _win_fused_impl(table, xt_s, resolutions, pages, interpret, region_caps):
         out_shape=jax.ShapeDtypeStruct((l, 2, n), jnp.float32),
         interpret=interpret,
     )(pages, res_arr, xt_s, bc, tabt, tabt)
-    return out.reshape(l * 2, n).T, ((l, t, f), xt_s, pages)
+    # bc rides the residuals ([2, N] f32 — 6 MB at training shape): the
+    # backward would otherwise rebuild it (region_ids + the [R, N] one-hot
+    # region_lookup matmul) per pass — measured ~2 ms/step at 786k points
+    return out.reshape(l * 2, n).T, ((l, t, f), xt_s, bc, pages)
 
 
 def _res_scalars(resolutions, t: int):
@@ -604,11 +609,10 @@ def _win_fused_fwd_rule(table, xt_s, resolutions, pages, interpret,
 
 
 def _win_fused_bwd_rule(resolutions, interpret, region_caps, res, g):
-    (l, t, f), xt_s, pages = res
+    (l, t, f), xt_s, bc, pages = res
     r = t * f // 128
     n = xt_s.shape[1]
     res_arr = _res_scalars(resolutions, t)
-    bc = _point_bc(xt_s, t, region_caps)
     g_l = g.T.reshape(l, 2, n).astype(jnp.float32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -712,7 +716,8 @@ def corner_indices_weights_win(xt, resolutions, t: int, region_caps=None):
     to `HashGridEncoding.corner_indices_weights` but the index function
     replaced by a two-regime scheme:
 
-    COARSE levels (res <= 2^floor(log2 t / 3) - 1; 63 at the default 2^19):
+    COARSE levels (res <= res_dense = 15: the whole level grid fits one
+    4096-entry kernel window — see `region_geometry`):
         idx = morton27(cell)            # injective AND Z-window-local
 
     FINE levels (everything above) — the POSITION-REGION hash:
@@ -752,7 +757,12 @@ def corner_indices_weights_win(xt, resolutions, t: int, region_caps=None):
     p2 = jnp.uint32(_PRIMES[2])
     scales = jnp.asarray(resolutions, xt.dtype)
     xs = scales[:, None, None] * xt[None]                  # [L, 3, N]
-    x0f = jnp.floor(xs)
+    # clamp the cell to res-1 (the grid's last cell): a clipped boundary
+    # point x == 1.0 otherwise lands in cell `res` whose +1 corner (res+1)
+    # escapes the dense-morton window span (and, for small tables, the
+    # table itself). frac then reaches 1.0 so the full weight sits on the
+    # corner at coordinate res — the reference grid extent.
+    x0f = jnp.minimum(jnp.floor(xs), scales[:, None, None] - 1.0)
     frac = xs - x0f
     x0 = x0f.astype(jnp.uint32)
     # the point's region: prefix of the sort key (monotone along the
@@ -839,25 +849,31 @@ def _unsort_bwd(res, g):
 unsort_columns.defvjp(_unsort_fwd, _unsort_bwd)
 
 
-def encode_win(table, x, resolutions, *, interpret=False, use_kernel=True):
+def encode_win(table, x, resolutions, *, interpret=False, use_kernel=True,
+               region_caps=None):
     """Full windowed hash-grid encode of UNSORTED points.
 
     x: [N, 3] in [0,1]; table [L, T, 2]. Returns [N, L*2] float32
     (level-major columns; dense minor dim — see `hash_encode_win`).
-    Sorts points along the Z-curve, encodes with the windowed kernel (or the
-    bit-identical XLA oracle when `use_kernel=False` — the CPU path), and
-    restores the caller's point order. Fully differentiable wrt `table`.
+    Sorts points along the Z-curve, encodes with the windowed kernel (or
+    with `hash_encode_exact` — the same index function through a plain XLA
+    gather, no window-clamp aliasing — when `use_kernel=False` or the batch
+    is under `N_WINDOWED_MIN`), and restores the caller's point order.
+    Fully differentiable wrt `table`. `region_caps` selects calibrated
+    per-region capacities (see `normalize_caps`); it changes the index
+    semantics and must match the caps the table was trained with.
+    (`hash_encode_win_xla` remains the bit-identical kernel test oracle.)
     """
     l, t, f = table.shape
     n = x.shape[0]
     n_pad = -(-n // _B) * _B
     xt_s, perm, inv_perm = sort_perm(x, float(max(resolutions)), n_pad)
     if use_kernel and n_pad >= N_WINDOWED_MIN:
-        pages = window_pages(xt_s, resolutions, t)
+        pages = window_pages(xt_s, resolutions, t, region_caps)
         out = hash_encode_win_fused(table, xt_s, tuple(resolutions), pages,
-                                    interpret)
+                                    interpret, region_caps)
     else:
-        idx, w = corner_indices_weights_win(xt_s, resolutions, t)
+        idx, w = corner_indices_weights_win(xt_s, resolutions, t, region_caps)
         out = hash_encode_exact(table, idx, w)
     return permute_rows(out, inv_perm, perm)[:n]          # [N, L*F]
 

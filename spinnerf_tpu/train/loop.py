@@ -146,6 +146,32 @@ def train_config(cfg: Config) -> TrainConfig:
 class Trainer:
     """End-to-end DS-NeRF-style trainer on one scene."""
 
+    def _persist_region_caps(self, caps):
+        """Pin the windowed hash's region capacities to the experiment.
+
+        Calibrated caps change how table entries are indexed, so they must
+        travel with the trained table. A sidecar `region_caps.json` in the
+        exp dir is the authority: written on the experiment's first run,
+        read back (overriding the flag-derived value) on every resume —
+        flipping --hash_region_calib, swapping the ray bank, or future
+        changes to the calibration code can then never silently read a
+        trained table under a different index map.
+        """
+        import json
+        path = self.exp_dir / "region_caps.json"
+        if path.exists():
+            saved = json.loads(path.read_text())["region_caps"]
+            saved = None if saved is None else tuple(int(c) for c in saved)
+            if saved != caps:
+                self.log(
+                    f"region_caps: using the experiment's pinned value from "
+                    f"{path.name} ({'calibrated' if saved else 'uniform'}); "
+                    f"the flag-derived value differs and is ignored")
+            return saved
+        path.write_text(json.dumps(
+            {"region_caps": None if caps is None else list(caps)}))
+        return caps
+
     def __init__(self, cfg: Config, *, scene: llff.Scene | None = None,
                  mesh=None, lpips_fn=None, log=print):
         self.cfg = cfg
@@ -184,15 +210,21 @@ class Trainer:
         # --- model + step ---
         self.model = build_model(cfg, semantic=cfg.mvseg)
         from spinnerf_tpu.models.hashgrid import HashGridField
-        if isinstance(self.model, HashGridField) and cfg.hash_region_calib:
+        if isinstance(self.model, HashGridField):
             # opt-in: calibrate the windowed hash's per-region table
-            # capacities to this scene's ray-sample density (deterministic
-            # given the bank, so checkpoint restore recomputes identical
-            # caps). The uniform default already measures <1%% fine-level
-            # window aliasing at training batch shapes (PARITY_RUN §4);
-            # calibration is for heavily concentrated scenes.
-            self.model = self.model.clone(
-                region_caps=_scene_region_caps(self.bank, self.model))
+            # capacities to this scene's ray-sample density. The uniform
+            # default already measures <1%% fine-level window aliasing at
+            # training batch shapes (PARITY_RUN §4); calibration is for
+            # heavily concentrated scenes. The caps are part of the table's
+            # INDEX SEMANTICS, so the experiment dir pins them: a resumed
+            # checkpoint reads the table under the caps it was trained
+            # with even if the flag, the ray bank, or the calibration code
+            # changes (`_persist_region_caps`).
+            caps = (_scene_region_caps(self.bank, self.model)
+                    if cfg.hash_region_calib else None)
+            caps = self._persist_region_caps(caps)
+            if caps is not None:
+                self.model = self.model.clone(region_caps=caps)
         # the fine network may be sized separately (`run_nerf.py:417`)
         self.fine_model = self.model
         if (cfg.no_tcnn and (cfg.netdepth_fine != cfg.netdepth

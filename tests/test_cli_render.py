@@ -3,6 +3,9 @@ the `--render_only` equivalents of `DS_NeRF/run_nerf.py:1167-1220`)."""
 import numpy as np
 import pytest
 
+# integration-heavy module: full-suite lane only (fast lane: -m 'not slow')
+pytestmark = pytest.mark.slow
+
 from spinnerf_tpu.cli.__main__ import main as cli_main
 from spinnerf_tpu.data import synthetic
 

@@ -53,6 +53,7 @@ def blender_dir(tmp_path_factory):
     return d
 
 
+@pytest.mark.slow
 def test_blender_trains_end_to_end(blender_dir, tmp_path):
     cfg = Config(
         expname="bl", basedir=str(tmp_path), datadir=str(blender_dir),

@@ -2,6 +2,9 @@
 import numpy as np
 import pytest
 
+# integration-heavy module: full-suite lane only (fast lane: -m 'not slow')
+pytestmark = pytest.mark.slow
+
 from spinnerf_tpu.eval.inpainting import (FeatureExtractor, frechet_distance,
                                           InpaintingEvaluator)
 from spinnerf_tpu.pipeline.interactive import ClickSegmenter, bg_remover

@@ -4,6 +4,9 @@ and the square-crop proposer."""
 import numpy as np
 import pytest
 
+# integration-heavy module: full-suite lane only (fast lane: -m 'not slow')
+pytestmark = pytest.mark.slow
+
 from spinnerf_tpu.eval import masks as em
 
 

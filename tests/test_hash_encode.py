@@ -67,8 +67,11 @@ def test_multi_block_grid():
 
 
 def test_recommended_impl():
-    assert he.recommended_impl(15, on_tpu=True) == "mxu"
-    assert he.recommended_impl(16, on_tpu=True) == "win"
+    # round 3 moved the win/mxu crossover to 2^13 (ops/hash_encode.py:
+    # recommended_impl — windowed beats dense for any table over one window)
+    assert he.recommended_impl(12, on_tpu=True) == "mxu"
+    assert he.recommended_impl(13, on_tpu=True) == "win"
+    assert he.recommended_impl(15, on_tpu=True) == "win"
     assert he.recommended_impl(19, on_tpu=True) == "win"
     assert he.recommended_impl(14, on_tpu=False) == "xla"
 

@@ -440,3 +440,68 @@ def test_hashgrid_field_sorted_flow_semantic_and_frozen_sigma():
                                np.asarray(raw[..., :3]), rtol=0, atol=0)
     np.testing.assert_allclose(np.asarray(raw_f[..., 4:]),
                                np.asarray(raw[..., 4:]), rtol=0, atol=0)
+
+
+def test_boundary_point_clamped_to_grid():
+    """A clipped boundary point (x == 1.0 exactly) must index the grid's
+    LAST cell: dense-morton corner indices stay < (res+1)^3 <= one window
+    and inside even the smallest tables, and the fused kernel agrees with
+    the exact gather there (round-3 advisor finding: unclamped cells at
+    coord `res` put the +1 corner at res+1, whose morton escapes the
+    window span and, for 2^12..2^14 tables, the table itself)."""
+    rng = np.random.RandomState(13)
+    l, t = 2, 1 << 12                 # smallest windowed table
+    res = (4, 15)                     # both levels in the dense regime
+    n = hw._B
+    x = rng.rand(n, 3).astype(np.float32)
+    x[:64] = 1.0                      # exact boundary points
+    x[64:128, 0] = 1.0
+    xt_s, _, _ = hw.sort_perm(jnp.asarray(x), float(max(res)), n)
+    idx, w = hw.corner_indices_weights_win(xt_s, res, t)
+    idx = np.asarray(idx)
+    for li, r in enumerate(res):
+        # morton codes are sparse: coords <= r live under the next
+        # power-of-two cube (4096 = one window at the res_dense=15 bound)
+        bound = (1 << int(np.ceil(np.log2(r + 1)))) ** 3
+        assert idx[li].max() < bound <= hw.WINDOW_ENTRIES
+    assert idx.max() < t
+    np.testing.assert_allclose(np.asarray(w).sum(axis=1), 1.0, atol=1e-5)
+
+    table = jnp.asarray(rng.randn(l, t, 2).astype(np.float32))
+    pages = hw.window_pages(xt_s, res, t)
+    out_f = hw.hash_encode_win_fused(table, xt_s, res, pages, True)
+    out_e = hw.hash_encode_exact(table, idx, w)
+    scale = float(jnp.abs(out_e).max())
+    assert float(jnp.abs(out_f - out_e).max()) < 0.02 * scale
+
+
+def test_encode_win_threads_region_caps():
+    """`encode_win` (the non-sorted_extra model path) must apply calibrated
+    region caps — a caps-configured encoding read through this entry point
+    previously fell back to the uniform index function silently (round-3
+    advisor finding)."""
+    from spinnerf_tpu.models.hashgrid import calibrate_region_caps
+    rng = np.random.RandomState(14)
+    t = 1 << 19                       # 512 regions: calibration can't
+    res = (16, 256, 2048)             # saturate back to the uniform split
+    n = 700                           # exercises padding too
+    x = np.clip(np.array([[0.2, 0.2, 0.2]]).repeat(n, 0)
+                + rng.randn(n, 3) * 0.25, 0, 1).astype(np.float32)
+    caps = calibrate_region_caps(x, 19)
+    assert caps != hw.normalize_caps(t, None)
+    table = jnp.asarray(
+        rng.randn(3, t, 2).astype(np.float32) * 0.01)
+
+    out = hw.encode_win(table, jnp.asarray(x), res, use_kernel=False,
+                        region_caps=caps)
+    # reference: exact gather on calibrated indices, unsorted manually
+    n_pad = -(-n // hw._B) * hw._B
+    xt_s, perm, inv_perm = hw.sort_perm(jnp.asarray(x), float(max(res)),
+                                        n_pad)
+    idx, w = hw.corner_indices_weights_win(xt_s, res, t, caps)
+    want = np.asarray(hw.hash_encode_exact(table, idx, w))[
+        np.argsort(np.asarray(perm))][:n]
+    np.testing.assert_allclose(np.asarray(out), want, rtol=0, atol=0)
+    # and it must DIFFER from the uniform-caps encode (caps change indices)
+    out_u = hw.encode_win(table, jnp.asarray(x), res, use_kernel=False)
+    assert float(jnp.abs(out - out_u).max()) > 0

@@ -4,6 +4,9 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+# integration-heavy module: full-suite lane only (fast lane: -m 'not slow')
+pytestmark = pytest.mark.slow
+
 from spinnerf_tpu.models import lama
 from spinnerf_tpu.pipeline import inpaint2d
 

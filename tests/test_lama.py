@@ -27,6 +27,7 @@ def test_generator_shapes(rng):
     assert (np.asarray(y) >= 0).all() and (np.asarray(y) <= 1).all()
 
 
+@pytest.mark.slow
 def test_generator_jit_and_odd_sizes(rng):
     gen = lama.FFCResNetGenerator(n_blocks=1, ngf=8, max_features=32)
     x = jnp.asarray(rng.rand(1, 40, 56, 4).astype(np.float32))  # mult of 8

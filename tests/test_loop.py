@@ -59,6 +59,7 @@ def test_trainer_checkpoint_resume(scene_dir, tmp_path):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_separate_fine_model_sizes(scene_dir, tmp_path):
     """--netdepth_fine/--netwidth_fine size the fine network independently
     (`run_nerf.py:417-420`): params differ in shape, training and rendering
@@ -76,6 +77,7 @@ def test_separate_fine_model_sizes(scene_dir, tmp_path):
     assert np.isfinite(rgbs).all()
 
 
+@pytest.mark.slow
 def test_ft_path_loads_external_weights(scene_dir, tmp_path):
     """--ft_path: an explicit checkpoint path overrides the exp dir's own
     scan (`run_nerf.py:1151-1157`) — works for a foreign exp dir and for a
@@ -112,6 +114,7 @@ def test_ft_path_loads_external_weights(scene_dir, tmp_path):
         Trainer(cfg4, log=lambda *a: None)
 
 
+@pytest.mark.slow
 def test_prepare_hook_writes_lama_staging(scene_dir, tmp_path):
     cfg = tiny_config(scene_dir, tmp_path, expname="prep", prepare=True)
     tr = Trainer(cfg, log=lambda *a: None)
@@ -122,6 +125,7 @@ def test_prepare_hook_writes_lama_staging(scene_dir, tmp_path):
     assert len(imgs) == 6 and len(labels) == 6
 
 
+@pytest.mark.slow
 def test_testset_hook_writes_artifacts(scene_dir, tmp_path):
     cfg = tiny_config(scene_dir, tmp_path, expname="ts", N_gt=2)
     tr = Trainer(cfg, log=lambda *a: None)
@@ -149,6 +153,7 @@ def test_mesh_shape_limits_devices(scene_dir, tmp_path):
     tr.fit(n_iters=2, hooks=False)
 
 
+@pytest.mark.slow
 def test_prepare_cadence_fires_in_loop(scene_dir, tmp_path):
     """`--prepare` stages LaMa guidance from INSIDE the fit loop on the
     i_feat cadence and at the final step (`run_nerf.py:1563,1599`) — not
@@ -159,3 +164,40 @@ def test_prepare_cadence_fires_in_loop(scene_dir, tmp_path):
     tr.fit(n_iters=4)   # fires at i=3 (cadence) and i=4 (final step)
     out = tr.exp_dir / "lama_input"
     assert sorted(out.glob("img*.png")), "in-loop prepare dump missing"
+
+
+@pytest.mark.slow
+def test_region_caps_pinned_to_experiment(scene_dir, tmp_path):
+    """Calibrated region caps are part of the hash table's index semantics:
+    the experiment dir pins them in region_caps.json, and a resumed Trainer
+    reads the table under the PINNED caps even when --hash_region_calib is
+    flipped off (round-3 advisor finding: caps were silently re-derived)."""
+    import json
+    cfg = tiny_config(scene_dir, tmp_path, expname="caps", no_tcnn=False,
+                      log2_hashmap_size=13, hash_impl="win_xla",
+                      hash_region_calib=True, i_weights=2)
+    tr = Trainer(cfg, log=lambda *a: None)
+    sidecar = tr.exp_dir / "region_caps.json"
+    assert sidecar.exists()
+    pinned = json.loads(sidecar.read_text())["region_caps"]
+    assert pinned == (None if tr.model.region_caps is None
+                      else list(tr.model.region_caps))
+    tr.fit(n_iters=2, hooks=True)
+    tr.ckpt.wait()
+
+    # resume with the flag OFF: the pinned caps still apply
+    cfg2 = tiny_config(scene_dir, tmp_path, expname="caps", no_tcnn=False,
+                       log2_hashmap_size=13, hash_impl="win_xla",
+                       hash_region_calib=False, i_weights=2)
+    tr2 = Trainer(cfg2, log=lambda *a: None)
+    assert tr2.state.step == 2
+    assert tr2.model.region_caps == tr.model.region_caps
+
+    # a fresh experiment with the flag off pins the uniform (None) value
+    cfg3 = tiny_config(scene_dir, tmp_path, expname="caps_u", no_tcnn=False,
+                       log2_hashmap_size=13, hash_impl="win_xla",
+                       hash_region_calib=False)
+    tr3 = Trainer(cfg3, log=lambda *a: None)
+    assert tr3.model.region_caps is None
+    assert json.loads(
+        (tr3.exp_dir / "region_caps.json").read_text())["region_caps"] is None

@@ -43,6 +43,7 @@ def test_batched_and_jittable(lpips_fn, rng):
     assert (np.asarray(d) > 0).all()
 
 
+@pytest.mark.slow
 def test_gradients_flow(lpips_fn, rng):
     x = jnp.asarray(rng.rand(16, 16, 3).astype(np.float32))
     y = jnp.asarray(rng.rand(16, 16, 3).astype(np.float32))

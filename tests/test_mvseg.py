@@ -3,6 +3,9 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+# integration-heavy module: full-suite lane only (fast lane: -m 'not slow')
+pytestmark = pytest.mark.slow
+
 from spinnerf_tpu.config import Config
 from spinnerf_tpu.data import synthetic, llff
 from spinnerf_tpu.pipeline import mvseg

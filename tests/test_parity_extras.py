@@ -47,6 +47,7 @@ def test_single_image_precrop(bank):
     assert spread_crop < 0.5 * spread_full
 
 
+@pytest.mark.slow
 def test_no_batching_trainer(scene_dir, tmp_path):
     cfg = Config(expname="nb", basedir=str(tmp_path), datadir=str(scene_dir),
                  factor=1, no_ndc=True, no_tcnn=True, no_batching=True,
@@ -95,6 +96,7 @@ def test_weight_argmax_depth():
     np.testing.assert_allclose(d, z[0, 0, 5])
 
 
+@pytest.mark.slow
 def test_strip_checkpoint(scene_dir, tmp_path):
     cfg = Config(expname="st", basedir=str(tmp_path), datadir=str(scene_dir),
                  factor=1, no_ndc=True, no_tcnn=True, netdepth=2, netwidth=32,
@@ -112,6 +114,7 @@ def test_strip_checkpoint(scene_dir, tmp_path):
     assert "coarse" in params and "opt_state" not in params
 
 
+@pytest.mark.slow
 def test_alpha_model_path_frozen_sigma(scene_dir, tmp_path):
     """NeRF_RGB mode: with a frozen alpha model, density must not change
     during training while colors do."""

@@ -52,6 +52,7 @@ def test_step_decreases_loss(model, bank):
         assert name in m
 
 
+@pytest.mark.slow
 def test_metrics_by_mode(model, bank):
     for kw, present, absent in [
         (dict(object_removal=True), ["acc_loss"], ["masked_loss", "inp_loss"]),

@@ -1,11 +1,18 @@
 """Hash-grid training QUALITY at the reference default size (2^19, 16 levels).
 
-The windowed encode's locality-preserving Morton hash deviates from
-instant-ngp's XOR-prime hash (`ops/hash_encode_win.py::
-corner_indices_weights_win`: collision-free to res 63 vs the reference's
-res 79 at 2^19, pseudo-random folds above). A hash grid trains *through*
-collisions by construction, but that must be DEMONSTRATED at the default
-size, through the res-64..79 band where the two hashes differ — not assumed.
+The windowed encode's POSITION-REGION hash (`ops/hash_encode_win.py::
+corner_indices_weights_win`: dense morton for levels whose grid fits one
+window, `region(point) base + xor_prime_hash(cell) & cap` above) deviates
+from instant-ngp's global XOR-prime hash in its collision PATTERN: collisions
+are confined within 1/R-scene regions whose load follows sample density.
+A hash grid trains *through* collisions by construction (instant-ngp §4),
+but that must be DEMONSTRATED at the default size — not assumed — in BOTH
+execution regimes: the exact-gather fallback (batches < N_WINDOWED_MIN,
+the default harness shape) and the real windowed kernels with their
+window-clamp aliasing (`--n-rand 1024+`). The retired round-3 folded-Morton
+index failed exactly this test (~9 dB batch-dependent aliasing, PARITY_RUN
+§4 history) — this harness is the standing regression gate for index-
+function redesigns, with `--hash-impl xla` as the XOR-prime control arm.
 
 This tool trains, on the SAME synthetic scene as `dynamic_check.py` (so the
 recorded torch-reference MLP trajectories in PARITY_RUN.md are directly
@@ -56,19 +63,27 @@ BASE_FLAGS = [
 
 
 def run_arm(ws: Path, name: str, iters: int, model_flags: list[str],
-            on_tpu: bool) -> float:
+            on_tpu: bool, n_rand: int | None = None) -> float:
     run_dir = ws / f"{name}_run"
     run_dir.mkdir(parents=True, exist_ok=True)
     env = dict(os.environ,
                PYTHONPATH=str(REPO) + ":" + os.environ.get("PYTHONPATH", ""))
     if not on_tpu:
         env.update(JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+    flags = list(BASE_FLAGS)
+    if n_rand is not None:
+        # the windowed-kernel regime needs >= N_WINDOWED_MIN points per
+        # encode (131,072): at 32+32 samples that means N_rand >= 1024
+        # (4 ray groups x N_rand x 32 coarse points). The default 128
+        # stays on the exact-gather fallback — both regimes must be
+        # quality-proven (VERDICT r3 #3).
+        flags[flags.index("--N_rand") + 1] = str(n_rand)
     cmd = [sys.executable, "-m", "spinnerf_tpu.cli", "train",
            "--expname", name, "--basedir", str(run_dir / "logs"),
            "--datadir", str(ws / "scene"),
            "--N_iters", str(iters), "--i_print", "20",
            "--i_testset", str(iters), "--i_feat", str(iters),
-           "--no_reload", *BASE_FLAGS, *model_flags]
+           "--no_reload", *flags, *model_flags]
     return run_logged(cmd, run_dir, ws / f"{name}.log", env=env)
 
 
@@ -119,6 +134,11 @@ def main():
                     "from table-capacity effects (viable at this scene's "
                     "tiny point count; the windowed kernels exist because "
                     "this path does not scale)")
+    ap.add_argument("--n-rand", type=int, default=None,
+                    help="override the hashgrid arm's ray batch (>=1024 at "
+                    "32+32 samples puts every encode above N_WINDOWED_MIN, "
+                    "engaging the REAL windowed kernels instead of the "
+                    "exact-gather fallback)")
     ap.add_argument("--skip-mlp", action="store_true",
                     help="reuse an existing mlp_run/mlp.log in the workdir "
                     "(e.g. copied from a sibling run with identical flags)")
@@ -142,7 +162,8 @@ def main():
         if args.hash_impl is not None:
             hash_flags += ["--hash_impl", args.hash_impl]
         times["hashgrid_wall_s"] = run_arm(
-            ws, "hashgrid", args.iters, hash_flags, on_tpu=not args.cpu)
+            ws, "hashgrid", args.iters, hash_flags, on_tpu=not args.cpu,
+            n_rand=args.n_rand)
         if not args.skip_mlp:
             times["mlp_wall_s"] = run_arm(
                 ws, "mlp", args.iters,
