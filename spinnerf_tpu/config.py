@@ -137,11 +137,15 @@ class Config:
     compute_dtype: str = "bfloat16"
     grad_clip: float | None = None
     distortion_weight: float = 0.0
-    hash_region_calib: bool = False   # opt-in density calibration of the
-    # windowed hash's per-region capacities (hashgrid.calibrate_region_caps)
-    table_wd: float = 0.0             # L2 decay on hash-table params only:
-    # few-view hash-grid regularizer (the 2^19 table overfits scenes whose
-    # pixel count is far below its 16.7M params; 0 = reference parity)
+    hash_region_calib: bool = True    # density calibration of the windowed
+    # hash's Z-CDF page bounds (hashgrid.calibrate_page_bounds). DEFAULT ON:
+    # uniform bounds collapse any scene occupying a small part of
+    # [-bound, bound]^3 onto a few table segments (measured -15 dB,
+    # PARITY_RUN §4); disable only for full-cube synthetic data
+    table_wd: float = 0.0             # EXPERIMENTAL — measured HARMFUL at
+    # harness scale (over-regularizes through Adam, train tail -4 dB,
+    # PARITY_RUN §4); retained for larger-scene experiments only. L2 decay
+    # on hash-table params (0 = off = reference parity)
     mesh_shape: int = 0               # 0 = all local devices on the data axis
     seed: int = 0
 

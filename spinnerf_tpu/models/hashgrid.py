@@ -43,30 +43,44 @@ from spinnerf_tpu.models.embedding import sh_encoding
 _PRIMES = (1, 2654435761, 805459861)
 
 
-def calibrate_region_caps(x01, log2_table_size: int):
-    """Density-calibrated per-region table capacities for the windowed
-    position-region hash.
+def calibrate_page_bounds(x01, log2_table_size: int):
+    """Density-calibrated Z-CDF segment boundaries for the windowed hash.
 
     x01: [K, 3] normalized sample positions in [0,1] (e.g. stratified ray
     samples from the scene's ray bank — deterministic given the scene, so a
-    restored checkpoint recomputes identical caps). Returns a tuple of
-    power-of-two capacities summing to 2^log2_table_size (or None when the
-    table has a single region), allocating table entries in proportion to
-    sample density: a Z-sorted block of training points then spans
-    ~(block points / total) * T contiguous entries, keeping the windowed
-    kernel's 2-page DMA tight on REAL ray distributions, where uniform
-    region splits leave 30-50%% of fine-level corners outside the window
-    (sparse-region runs; see PARITY_RUN §4).
+    restored checkpoint recomputes identical bounds). Returns a tuple of
+    T//PAGE_ENTRIES sorted Z-keys (`hash_encode_win.zkey27` space) cutting the
+    samples' Z-order into EQUAL-COUNT segments: segment k (table entries
+    [k*PAGE_ENTRIES, (k+1)*PAGE_ENTRIES)) then receives ~1/n_segments of the
+    training samples, so
+
+      * the FULL table is used whatever fraction of [-bound, bound]^3 the
+        scene occupies (the reference's bound=100 maps real captures into
+        <0.1%% of the cube — a uniform spatial split collapses them onto a
+        few segments: measured 15.9 dB vs the 30.6 dB XOR-prime control,
+        PARITY_RUN §4),
+      * per-segment COLLISION load stays near the global XOR hash's
+        (sample-weighted distinct cells/entry at the finest level on the
+        §4 scene: 2.47 here vs the XOR control's ~2.8 — equalizing
+        UNIQUE-cell counts instead measures 3.03 and more window aliasing
+        on concentrated distributions, so sample quantiles win on both
+        axes), and
+      * a Z-sorted training block of B points spans ~B/(K/n_segments)
+        consecutive segments — inside the kernel's 2-page window by
+        construction (measured 0.0%% aliased corners at the 786k-point
+        training shape).
+
+    Boundary k is the k/n_segments sample quantile of the Z-keys; duplicate
+    quantiles (mass concentrated inside single 1/512-cells) are advanced to
+    distinct keys so no segment is unreachable.
     """
     from spinnerf_tpu.ops import hash_encode_win as hw
     t = 1 << log2_table_size
-    region_bits, _, _ = hw.region_geometry(t)
-    r = 1 << region_bits
-    if r <= 1:
+    n_seg = hw.n_segments(t)
+    if n_seg < 2:
         return None
-    rres = 1 << (region_bits // 3)
-    rc = np.clip((np.asarray(x01, np.float64) * rres).astype(np.int64),
-                 0, rres - 1)
+    rc = np.clip((np.asarray(x01, np.float64) * 512.0).astype(np.int64),
+                 0, 511)
 
     def spread(v):
         out = np.zeros_like(v)
@@ -74,32 +88,22 @@ def calibrate_region_caps(x01, log2_table_size: int):
             out |= ((v >> b) & 1) << (3 * b)
         return out
 
-    reg = spread(rc[:, 0]) | (spread(rc[:, 1]) << 1) | (spread(rc[:, 2]) << 2)
-    counts = np.bincount(reg, minlength=r).astype(np.float64)
-    target = t * (counts + 1e-3) / float(counts.sum() + r * 1e-3)
-    # round DOWN to powers of two (sum <= t + r), then fix up with two
-    # MONOTONE passes; `normalize_caps` only requires sum <= t — unused
-    # tail entries are wasted capacity, never an indexing error
-    # cap regions at ONE page (not the 2-page window): a cap <= 2048 fits
-    # any min-page window regardless of the base's alignment, while a
-    # 4096-entry region fits only when page-aligned
-    caps = np.clip(np.exp2(np.floor(np.log2(np.maximum(target, 1.0)))),
-                   1, hw.PAGE_ENTRIES).astype(np.int64)
-    while int(caps.sum()) > t:          # shrink most over-allocated
-        ratio = caps / np.maximum(target, 1e-9)
-        i = int(np.argmax(np.where(caps > 1, ratio, -np.inf)))
-        caps[i] //= 2
-    budget = t - int(caps.sum())
-    while True:                          # grow most under-allocated
-        ratio = caps / np.maximum(target, 1e-9)
-        can = (caps <= budget) & (caps * 2 <= hw.PAGE_ENTRIES)
-        if not can.any():
-            break
-        i = int(np.argmin(np.where(can, ratio, np.inf)))
-        budget -= int(caps[i])
-        caps[i] *= 2
-    assert 0 < int(caps.sum()) <= t
-    return tuple(int(c) for c in caps)
+    z = np.sort(spread(rc[:, 0]) | (spread(rc[:, 1]) << 1)
+                | (spread(rc[:, 2]) << 2))
+    bounds = z[(np.arange(n_seg, dtype=np.int64) * len(z)) // n_seg]
+    bounds[0] = 0
+    # equal quantiles (heavy mass in one 1/512-cell) would leave segments
+    # empty; advancing each duplicate to the next free key hands the spare
+    # capacity to the neighbouring Z-range instead
+    for k in range(1, n_seg):
+        if bounds[k] <= bounds[k - 1]:
+            bounds[k] = bounds[k - 1] + 1
+    bounds = np.minimum(bounds, (1 << 27) - 1)
+    for k in range(n_seg - 2, -1, -1):   # re-sort after the top clamp
+        if bounds[k] >= bounds[k + 1]:
+            bounds[k] = bounds[k + 1] - 1
+    bounds[0] = 0
+    return tuple(int(b) for b in bounds)
 
 
 def level_resolutions(n_levels: int, base_res: int, finest_res: float):
@@ -119,11 +123,11 @@ class HashGridEncoding(nn.Module):
         fast on TPU at small tables, but O(T) MXU work per point.
       - "win": Z-curve-sorted windowed Pallas kernels
         (`ops/hash_encode_win.py`) — O(window) per point, the fast path at
-        the reference-default 2^19 table. Fine levels use the position-
-        region hash (XOR-prime mixing within Z-window-local regions — a
+        the reference-default 2^19 table. Fine levels use the Z-CDF page
+        hash (XOR-prime mixing within equal-density Z-order segments — a
         documented collision-pattern change; instant-ngp trains through
         collisions by construction). Small batches take the exact-gather
-        fallback automatically (`hash_encode_win.N_WINDOWED_MIN`).
+        fallback automatically (`hash_encode_win.n_windowed_min`).
       - "win_xla": the windowed index function through the exact-gather
         fallback (`hash_encode_win.hash_encode_exact`) — the CPU reference
         for "win"; it omits the kernel's window-clamp aliasing
@@ -142,11 +146,11 @@ class HashGridEncoding(nn.Module):
     finest_res: float = 2048.0
     compute_dtype: jnp.dtype = jnp.bfloat16
     impl: str = "auto"
-    # density-calibrated per-region table capacities for the windowed
-    # position-region hash (`hash_encode_win.normalize_caps`); None =
-    # uniform split. Static (affects index semantics -> must be identical
-    # at train and render; recompute deterministically on restore).
-    region_caps: tuple | None = None
+    # density-calibrated Z-CDF segment boundaries for the windowed hash
+    # (`hash_encode_win.normalize_bounds`); None = uniform Z-volume split.
+    # Static (affects index semantics -> must be identical at train and
+    # render; pinned to the experiment dir by the Trainer).
+    page_bounds: tuple | None = None
 
     def corner_indices_weights(self, x):
         """x: [N, 3] in [0, 1] -> (idx [L, 8, N] int32, w [L, 8, N] f32).
@@ -231,27 +235,27 @@ class HashGridEncoding(nn.Module):
                 n_pad = -(-n // hw._B) * hw._B
                 xt_s, perm, inv_perm, *extra_s = hw.sort_perm(
                     x, float(max(resolutions)), n_pad, extra=sorted_extra)
-                if impl == "win" and n_pad >= hw.N_WINDOWED_MIN:
+                if impl == "win" and n_pad >= hw.n_windowed_min(t):
                     # fused-geometry kernel: corner indices/weights are
                     # rebuilt in-kernel; only the [L, NB] window pages are
                     # computed host-side (via a fused min-reduction)
                     pages = hw.window_pages(xt_s, resolutions, t,
-                                            self.region_caps)
+                                            self.page_bounds)
                     out = hw.hash_encode_win_fused(
                         table, xt_s, tuple(resolutions), pages,
-                        region_caps=self.region_caps)
+                        page_bounds=self.page_bounds)
                 else:
                     # small batches (and the CPU path): exact gather with
                     # the same index function — no window aliasing, and
                     # XLA's serialized gather is cheap at this size
                     idx, w = hw.corner_indices_weights_win(
-                        xt_s, resolutions, t, self.region_caps)
+                        xt_s, resolutions, t, self.page_bounds)
                     out = hw.hash_encode_exact(table, idx, w)
                 return (out.astype(self.compute_dtype), perm, inv_perm,
                         tuple(extra_s))
             out = hw.encode_win(table, x, resolutions,
                                 use_kernel=(impl == "win"),
-                                region_caps=self.region_caps)  # [N, L*F]
+                                page_bounds=self.page_bounds)  # [N, L*F]
             return out.astype(self.compute_dtype).reshape(
                 *shape, self.n_levels * self.features)
 
@@ -293,7 +297,7 @@ class HashGridField(nn.Module):
     semantic: bool = False
     compute_dtype: jnp.dtype = jnp.bfloat16
     impl: str = "auto"
-    region_caps: tuple | None = None
+    page_bounds: tuple | None = None
 
     def _heads(self, enc, d, dtype):
         """Sigma + color MLP heads over encoded features (pointwise: runs
@@ -341,7 +345,7 @@ class HashGridField(nn.Module):
             log2_table_size=self.log2_table_size, base_res=self.base_res,
             finest_res=self.finest_res_per_unit * self.bound,
             compute_dtype=dtype, impl=self.impl,
-            region_caps=self.region_caps, name="encoder")
+            page_bounds=self.page_bounds, name="encoder")
 
         vd = jnp.broadcast_to(viewdirs[..., None, :], pts.shape[:-1] + (3,))
 

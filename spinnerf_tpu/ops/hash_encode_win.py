@@ -8,32 +8,40 @@ This module restores O(1)-per-access cost the TPU way:
 1. **Sort points along a Z-order curve** (54-bit Morton key as two int32
    lanes, `lax.sort` with num_keys=2 — measured 2.3 ms for 786k points on
    v5e). Consecutive points become spatial neighbours.
-2. **Position-region hash** (`corner_indices_weights_win`): coarse levels
+2. **Z-CDF page hash** (`corner_indices_weights_win`): coarse levels
    (collision-free in 27 Morton bits) index by cell Morton; fine levels by
-   `region(point) base + xor_prime_hash(cell) & cap`, where the region is
-   a PREFIX of the point's sort key. All 8 corners of a point share its
-   region, consecutive sorted points have equal-or-adjacent regions, and a
-   region's entries fit one kernel window — so a block of sorted points
-   touches a compact index *window* BY CONSTRUCTION, batch-independently,
-   on real ray-sample distributions (<1% fine-level corner aliasing at
-   training shapes). (An earlier folded-Morton index keyed fine cells by
-   their low Morton bits, which are pseudo-random across a block at real
-   point spreads: 68-94% of fine corners aliased batch-DEPENDENTLY,
-   costing ~9 dB vs an XOR-hash control — PARITY_RUN §4. Collisions
-   themselves are fine — instant-ngp §4 trains through them — but the
-   collision pattern must not depend on the batch.)
+   `segment(point) * PAGE_ENTRIES + xor_prime_hash(cell) & (PAGE_ENTRIES-1)`,
+   where the segment is the point's Z-order key bucketed against
+   equal-sample-count boundaries calibrated from the scene
+   (`hashgrid.calibrate_page_bounds`). All 8 corners of a point share its
+   segment, segment ids are monotone along the sorted stream, and each
+   segment holds ~equal sample mass — so a block of sorted points touches
+   a compact index *window* BY CONSTRUCTION, batch-independently, the
+   whole table is used however small a fraction of [-bound, bound]^3 the
+   scene occupies, AND per-segment collision load stays near the global
+   XOR hash's (2.47 vs ~2.8 sample-weighted cells/entry at the finest
+   level on the §4 scene). (Two predecessor designs were killed by the §4 quality
+   harness: a folded-Morton index whose fine-level corners aliased
+   batch-DEPENDENTLY, ~9 dB vs the XOR control; then a fixed cubic region
+   grid that collapsed concentrated scenes — every real capture at the
+   reference's bound=100 — onto ~8k of 2^19 entries, 15.9 dB vs 30.6.
+   Collisions themselves are fine — instant-ngp §4 trains through them —
+   but the pattern must be batch-independent and the capacity
+   density-proportional.)
 3. **Windowed one-hot matmuls**: each 512-point block multiplies against a
-   2-page window (2x2048 entries = 64 packed rows) of the level table that
-   Pallas DMAs in via a scalar-prefetched page id — 128x less MXU work than
-   the dense kernel at 2^19. The rare out-of-window corner (region-boundary
-   blocks) is aliased to `offset mod 4096` inside the window — one extra
+   2-page window (2x1024 entries) of the level table that Pallas DMAs in
+   via a scalar-prefetched page id — 256x less MXU work than the dense
+   kernel at 2^19, and the forward gathers two corners per matmul
+   (`_paired_gather`). The rare out-of-window corner (segment-boundary
+   blocks) is aliased to `offset mod 2048` inside the window — one extra
    deterministic collision, identical in forward and backward.
 4. **Backward**: per-block window gradients are accumulated straight into
    an HBM gradient table with in-kernel async DMA (sequential TPU grid =>
    no races); blocks' windows may overlap arbitrarily.
-5. **Small batches** (`N < N_WINDOWED_MIN`: too few blocks for window
-   locality) fall back to `hash_encode_exact` — XLA gather with the SAME
-   index function, zero aliasing, cheap at that size.
+5. **Small batches** (`N < n_windowed_min(T)`: blocks heavier than one
+   equal-count segment overflow the 2-page window) fall back to
+   `hash_encode_exact` — XLA gather with the SAME index function, zero
+   aliasing, cheap at that size.
 
 The XLA oracle (`hash_encode_win_xla`) reproduces the window-clamp
 semantics bit-exactly and is the kernel test reference.
@@ -41,6 +49,7 @@ semantics bit-exactly and is the kernel test reference.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -49,18 +58,25 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # instant-ngp's spatial-hash primes (`run_nerf_helpers_tcnn.py` semantics,
-# shared with models/hashgrid.py) — the in-region mixing of the fine-level
-# position-region hash (`corner_indices_weights_win`)
+# shared with models/hashgrid.py) — the in-segment mixing of the fine-level
+# Z-CDF page hash (`corner_indices_weights_win`)
 _PRIMES = (1, 2654435761, 805459861)
 
 # points per kernel block (lanes of every point-indexed tile)
 _B = 512
-# entries per table page; a window is two consecutive pages
-PAGE_ENTRIES = 2048
-WINDOW_ENTRIES = 2 * PAGE_ENTRIES
-# packed-row geometry (features=2, 64 entries/row)
-_PAGE_ROWS = PAGE_ENTRIES * 2 // 128          # 32
-_WIN_ROWS = 2 * _PAGE_ROWS                    # 64
+# entries per table page = one Z-CDF segment; a window is two consecutive
+# pages. 1024-entry pages (down from round-3's 2048) let the forward gather
+# TWO corners per MXU matmul: each corner's 2048-entry window fits a 64-lane
+# half of a [128, 128] block-diagonal stationary (`_paired_gather`), halving
+# the column-pass floor (measured 26.9 -> 17.1 ms at the training shape).
+PAGE_ENTRIES = 1024
+WINDOW_ENTRIES = 2 * PAGE_ENTRIES             # 2048
+# packed layout (backward/grad tables): 128-lane rows of 64 entries
+_PAGE_ROWS = PAGE_ENTRIES * 2 // 128          # 16
+_WIN_ROWS = 2 * _PAGE_ROWS                    # 32
+# dup-lane layout (forward stationary): 32-row pages of 32 entries x 64
+# lanes, duplicated across both lane halves (`_pack_dup`)
+_PAGE_ROWS_DUP = 32
 
 
 # -----------------------------------------------------------------------------
@@ -89,10 +105,11 @@ def morton_sort_keys(x, finest_res: float):
     which is what gives blocks their window locality at every level.
 
     The sort grid is finest_res rounded UP to a power of two (<= 2^18): the
-    position-region hash requires the region grid (floor(x * 2^k)) to be a
-    bit-PREFIX of the sort key so region ids are monotone along the sorted
-    stream — under a non-power-of-two sort grid they are not (measured 32%%
-    fine-level window aliasing at 786k points vs 0.7%% fixed).
+    Z-CDF page hash wants the partition grid (`zkey27`, floor(x * 512)) to
+    be a bit-PREFIX of the sort key so segment ids are monotone along the
+    sorted stream — under a non-power-of-two sort grid they are not
+    (measured 32%% fine-level window aliasing at 786k points vs 0.7%%
+    fixed).
     """
     res = float(1 << min(18, max(1, int(np.ceil(np.log2(
         max(float(finest_res), 2.0)))))))
@@ -169,55 +186,100 @@ def overflow_fraction(idx, t: int):
 # kernels — grid (L, NB); point tiles [*, B]; window = 2 pages of the table
 # -----------------------------------------------------------------------------
 
-def _win_fwd_kernel(pages_ref, off_ref, w_ref, tab0_ref, tab1_ref, out_ref):
-    """out[l, :, bB:+B] = trilinear blend of window-gathered features.
+def _paired_gather(offs, ws, pg0, pg1, out_ref):
+    """Shared forward body: corner-PAIRED windowed gather + trilinear blend.
 
-    off is RELATIVE to the window (precomputed by `window_offsets`);
-    tab0/tab1 are the two [1, _PAGE_ROWS, 128] pages, scalar-prefetch-indexed.
+    offs/ws: lists of 8 [1, B] in-window offsets (int32, [0, WINDOW_ENTRIES))
+    and f32 trilinear weights; pg0/pg1: the window's two dup-lane pages
+    ([_PAGE_ROWS_DUP, 128] bf16, lanes 64-127 duplicating 0-63).
 
-    Per corner: one row one-hot matmul gathers the point's 128-lane row,
-    then a single PAIR mask (lane>>1 == off&63 covers both feature lanes)
-    accumulates w_c * masked row into S — 3 vreg ops/corner instead of the
-    two per-feature compare+select+reduce chains. The even/odd parity sums
-    that split S into (f0, f1) happen ONCE per block as a tiny [2,128]
-    matmul (HIGHEST precision: S is an f32 accumulation).
+    One [128,128]x[128,B] matmul gathers TWO corners: the stationary is the
+    2048-entry window laid block-diagonally across the two 64-lane halves
+    (duplicated lanes masked), and a [128, B] one-hot whose rows 0-63 select
+    corner c0's window row and rows 64-127 corner c1's lands c0's row in
+    output lanes 0-63 and c1's in 64-127 with no cross-pollution — 4
+    matmuls per block instead of 8. Measured 26.9 -> 17.1 ms at the 786k x
+    16-level training shape (the MXU streams ~5.7 one-hot columns/cycle
+    regardless of K, so doubling K to pack two corners halves the
+    column-pass floor). Weights stay f32: they scale the f32-accumulated
+    gather output, not the bf16 one-hot.
     """
-    tabt = jnp.concatenate([tab0_ref[0], tab1_ref[0]],
-                           axis=0).T.astype(jnp.bfloat16)     # [128, 64]
-    iota_pair = jax.lax.broadcasted_iota(jnp.int32, (128, _B), 0) >> 1
-    iota_r = jax.lax.broadcasted_iota(jnp.int32, (_WIN_ROWS, _B), 0)
+    iota_rk = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    iota_lk = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    raw = jnp.concatenate([pg0, pg1, pg0, pg1], axis=0)       # [128, 128]
+    w2t = jnp.where((iota_rk < 64) == (iota_lk < 64), raw,
+                    jnp.bfloat16(0.0))                        # block-diagonal
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (128, _B), 0)
+    lo = iota_r < 64
+    pair_i = (iota_r & 63) >> 1
     s = jnp.zeros((128, _B), jnp.float32)
-    for c in range(8):
-        off_c = off_ref[0, c:c + 1, :]                        # [1, B]
-        oht = ((off_c >> 6) == iota_r).astype(jnp.bfloat16)   # [64, B]
-        gathered = jax.lax.dot_general(
-            tabt, oht, dimension_numbers=(((1,), (0,)), ((), ())),
+    for q in range(4):
+        o0, o1 = offs[2 * q], offs[2 * q + 1]
+        rtgt = jnp.where(lo, o0 >> 5, 64 + (o1 >> 5))         # [128, B]
+        oht2 = (iota_r == rtgt).astype(jnp.bfloat16)
+        g = jax.lax.dot_general(
+            w2t, oht2, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)               # [128, B]
-        w_c = w_ref[0, c:c + 1, :]
-        s = s + jnp.where(iota_pair == (off_c & 63), gathered * w_c, 0.0)
+        ptgt = jnp.where(lo, o0 & 31, o1 & 31)
+        wsel = jnp.where(lo, ws[2 * q], ws[2 * q + 1])
+        s = s + jnp.where(pair_i == ptgt, g * wsel, 0.0)
     # parity split, once per block: out[0] = even-lane sum (f0), out[1] =
-    # odd-lane sum (f1). Two masked full reductions — NOT a [2,128] matmul,
-    # which Mosaic pads to M=128 (and x3 passes at f32 precision), costing
-    # as much as three extra corner gathers.
+    # odd-lane sum (f1) — feature parity is preserved across both 64-lane
+    # halves. Two masked full reductions — NOT a [2,128] matmul, which
+    # Mosaic pads to M=128, costing as much as three extra corner gathers.
     parity = jax.lax.broadcasted_iota(jnp.int32, (128, _B), 0) & 1
     f0 = jnp.sum(jnp.where(parity == 0, s, 0.0), axis=0, keepdims=True)
     f1 = jnp.sum(jnp.where(parity == 1, s, 0.0), axis=0, keepdims=True)
     out_ref[0] = jnp.concatenate([f0, f1], axis=0)            # [2, B]
 
 
-def _win_bwd_kernel(pages_ref, off_ref, w_ref, g_ref, dtab_ref):
-    """Accumulate each block's window gradient into the level's grad table.
+def _corner_ref_offs(off_ref, w_ref):
+    offs = [off_ref[0, c:c + 1, :] for c in range(8)]
+    ws = [w_ref[0, c:c + 1, :] for c in range(8)]
+    return offs, ws
 
-    The whole per-level packed grad table ([R, 128] — 4 MB at 2^19) stays
-    VMEM-resident as a revisited output block across the point-block grid
-    dimension; the 64-row window update lands via a dynamic-slice
-    accumulate. Zeroed on the level's first block.
 
-    The per-lane cotangent row vt uses the same pair-mask trick as the
-    forward: g01 (cotangent laid out by lane parity) is built once per
-    block, each corner is then mask+scale — 3 vreg ops instead of the two
-    per-feature compare+select chains.
+def _win_fwd_kernel(pages_ref, off_ref, w_ref, pg0_ref, pg1_ref, out_ref):
+    """Standalone paired forward: off RELATIVE to the window (precomputed
+    by `window_offsets`); pg0/pg1 the scalar-prefetch-indexed dup-lane
+    pages."""
+    offs, ws = _corner_ref_offs(off_ref, w_ref)
+    _paired_gather(offs, ws, pg0_ref[0, 0], pg1_ref[0, 0], out_ref)
+
+
+def _bwd_accumulate(offs, ws, g_ref, page, dtab_ref):
+    """Shared backward body: per-corner window-grad accumulate into the
+    level's PACKED grad table ([R, 128] f32 — 4 MB at 2^19), VMEM-resident
+    as a revisited output block across the point-block grid dimension; the
+    32-row window update lands via a dynamic-slice accumulate.
+
+    Stays per-corner (8 [*,B]x[B,128] contractions): the committed
+    backward already streams ~6.9 columns/cycle — a corner-paired variant
+    (disjoint lane halves + quadrant fold, like the forward) measured
+    17.6 ms vs 15.4, because its dup-lane grad table doubles the revisited
+    VMEM block to 8 MB and the fold adds VPU work on the critical path.
+
+    The per-lane cotangent row vt: g01 (cotangent laid out by lane parity)
+    is built once per block, each corner is then mask+scale.
     """
+    iota_pair = jax.lax.broadcasted_iota(jnp.int32, (128, _B), 0) >> 1
+    parity = jax.lax.broadcasted_iota(jnp.int32, (128, _B), 0) & 1
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (_WIN_ROWS, _B), 0)
+    g01 = jnp.where(parity == 0, g_ref[0, 0:1, :], g_ref[0, 1:2, :])
+    upd = jnp.zeros((_WIN_ROWS, 128), jnp.float32)
+    for c in range(8):
+        off_c = offs[c]
+        vt = jnp.where(iota_pair == (off_c & 63), g01 * ws[c],
+                       0.0).astype(jnp.bfloat16)              # [128, B]
+        oht = ((off_c >> 6) == iota_r).astype(jnp.bfloat16)   # [32, B]
+        upd = upd + jax.lax.dot_general(
+            oht, vt, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)               # [32, 128]
+
+    dtab_ref[0, pl.ds(page * _PAGE_ROWS, _WIN_ROWS), :] += upd
+
+
+def _win_bwd_kernel(pages_ref, off_ref, w_ref, g_ref, dtab_ref):
     l = pl.program_id(0)
     b = pl.program_id(1)
 
@@ -225,23 +287,8 @@ def _win_bwd_kernel(pages_ref, off_ref, w_ref, g_ref, dtab_ref):
     def _():
         dtab_ref[0] = jnp.zeros_like(dtab_ref[0])
 
-    row0 = pages_ref[l, b] * _PAGE_ROWS
-    iota_pair = jax.lax.broadcasted_iota(jnp.int32, (128, _B), 0) >> 1
-    parity = jax.lax.broadcasted_iota(jnp.int32, (128, _B), 0) & 1
-    iota_r = jax.lax.broadcasted_iota(jnp.int32, (_WIN_ROWS, _B), 0)
-    g01 = jnp.where(parity == 0, g_ref[0, 0:1, :], g_ref[0, 1:2, :])
-    upd = jnp.zeros((_WIN_ROWS, 128), jnp.float32)
-    for c in range(8):
-        off_c = off_ref[0, c:c + 1, :]
-        w_c = w_ref[0, c:c + 1, :]
-        vt = jnp.where(iota_pair == (off_c & 63), g01 * w_c,
-                       0.0).astype(jnp.bfloat16)              # [128, B]
-        oht = ((off_c >> 6) == iota_r).astype(jnp.bfloat16)   # [64, B]
-        upd = upd + jax.lax.dot_general(
-            oht, vt, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)               # [64, 128]
-
-    dtab_ref[0, pl.ds(row0, _WIN_ROWS), :] += upd
+    offs, ws = _corner_ref_offs(off_ref, w_ref)
+    _bwd_accumulate(offs, ws, g_ref, pages_ref[l, b], dtab_ref)
 
 
 # -----------------------------------------------------------------------------
@@ -250,10 +297,11 @@ def _win_bwd_kernel(pages_ref, off_ref, w_ref, g_ref, dtab_ref):
 
 def _prep(off, weights, n_pad):
     """Pad the relative entry offsets + weights to a _B multiple along
-    points. Row/lane decomposition happens in-kernel (off>>6 / off&63 at
-    F=2) — window starts are page-aligned, so in-window positions equal
-    absolute packed positions; shipping `off` alone saves one [L, 8, N]
-    HBM stream versus precomputed rows+lanes."""
+    points. Row/lane decomposition happens in-kernel (off>>5 / off&31 in
+    the forward's dup-lane layout, off>>6 / off&63 in the backward's packed
+    layout) — window starts are page-aligned, so in-window positions equal
+    absolute positions; shipping `off` alone saves one [L, 8, N] HBM stream
+    versus precomputed rows+lanes."""
     off = off.astype(jnp.int32)
     w = weights.astype(jnp.float32)
     if n_pad != off.shape[2]:
@@ -263,8 +311,21 @@ def _prep(off, weights, n_pad):
 
 
 def _pack(table):
+    """Packed f32 layout (grad tables): [L, R, 128], 128-lane rows of 64
+    entries."""
     l, t, f = table.shape
     return table.reshape(l, t * f // 128, 128)
+
+
+def _pack_dup(table):
+    """Dup-lane bf16 page layout (forward stationary): [L, T//PAGE_ENTRIES,
+    _PAGE_ROWS_DUP, 128]. Page p, row r, lane l holds entry
+    p*PAGE_ENTRIES + r*32 + ((l & 63) >> 1), feature l & 1; lanes 64-127
+    duplicate 0-63 so `_paired_gather`'s block-diagonal stationary is a
+    plain concat + mask. bf16 here also halves the per-block window DMA."""
+    l, t, f = table.shape
+    pg = table.reshape(l, t // PAGE_ENTRIES, _PAGE_ROWS_DUP, 32 * f)
+    return jnp.concatenate([pg, pg], axis=-1).astype(jnp.bfloat16)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
@@ -309,17 +370,17 @@ def _win_fwd_impl(table, idx, weights, pages, interpret):
 
     _, off = window_offsets(idx, t)
     off, w = _prep(off, weights, n)
-    tabt = _pack(table)                                        # [L, R, 128]
+    tabd = _pack_dup(table)                        # [L, n_pages, 32, 128]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(l, n // _B),
         in_specs=_point_specs() + [
-            pl.BlockSpec((1, _PAGE_ROWS, 128),
-                         lambda i, j, pages: (i, pages[i, j], 0),
+            pl.BlockSpec((1, 1, _PAGE_ROWS_DUP, 128),
+                         lambda i, j, pages: (i, pages[i, j], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _PAGE_ROWS, 128),
-                         lambda i, j, pages: (i, pages[i, j] + 1, 0),
+            pl.BlockSpec((1, 1, _PAGE_ROWS_DUP, 128),
+                         lambda i, j, pages: (i, pages[i, j] + 1, 0, 0),
                          memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((1, 2, _B), lambda i, j, pages: (i, 0, j),
                                memory_space=pltpu.VMEM),
@@ -329,7 +390,7 @@ def _win_fwd_impl(table, idx, weights, pages, interpret):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((l, 2, n), jnp.float32),
         interpret=interpret,
-    )(pages, off, w, tabt, tabt)
+    )(pages, off, w, tabd, tabd)
     # [L, 2, N] -> [L*2, N] is free (contiguous); the transpose to [N, L*2]
     # moves between two DENSE layouts (N-minor -> 32-minor, padded 4x not
     # 64x). Returning [N, L, F] here would tile-pad F=2 to 128 lanes.
@@ -389,11 +450,11 @@ def _corner_geom(xt, bc, res_l, dense_l, base, t: int):
     order, same uint32 lane math; `& (WINDOW_ENTRIES-1)` equals the host's
     floor-mod on int32 for a power-of-two window).
 
-    xt: [3, B] f32 Z-sorted block coords; bc: [2, B] f32 per-point region
-    (entry base, capacity mask) from the host's `region_lookup` (values are
+    xt: [3, B] f32 Z-sorted block coords; bc: [2, B] f32 per-point segment
+    (entry base, capacity mask) from the host's `page_lookup` (values are
     f32-exact ints < 2^24); res_l: scalar f32 level scale; dense_l: scalar
     int32, 1 if this level is in the injective-morton regime (host:
-    `res <= res_dense`); base: scalar int32 window start entry
+    `res <= RES_DENSE`); base: scalar int32 window start entry
     (page * PAGE_ENTRIES).
     Returns ([8] of [1, B] int32 in-window offsets, [8] of [1, B] f32 w).
     """
@@ -428,39 +489,24 @@ def _corner_geom(xt, bc, res_l, dense_l, base, t: int):
 
 
 def _win_fwd_fused_kernel(t: int, pages_ref, res_ref,
-                          xt_ref, bc_ref, tab0_ref, tab1_ref, out_ref):
-    """Fused-geometry forward: `_win_fwd_kernel`'s gather/blend loop with
-    off/w rebuilt in-kernel from the coords block. res_ref is [L, 2]:
-    (level scale, dense-morton-regime flag); bc_ref the [2, B] per-point
-    region base/capmask block."""
+                          xt_ref, bc_ref, pg0_ref, pg1_ref, out_ref):
+    """Fused-geometry forward: `_paired_gather` with off/w rebuilt
+    in-kernel from the coords block. res_ref is [L, 2]: (level scale,
+    dense-morton-regime flag); bc_ref the [2, B] per-point segment
+    base/capmask block."""
     l = pl.program_id(0)
     j = pl.program_id(1)
     base = pages_ref[l, j] * PAGE_ENTRIES
     offs, ws = _corner_geom(xt_ref[...], bc_ref[...],
                             res_ref[l, 0].astype(jnp.float32),
                             res_ref[l, 1], base, t)
-    tabt = jnp.concatenate([tab0_ref[0], tab1_ref[0]],
-                           axis=0).T.astype(jnp.bfloat16)     # [128, 64]
-    iota_pair = jax.lax.broadcasted_iota(jnp.int32, (128, _B), 0) >> 1
-    iota_r = jax.lax.broadcasted_iota(jnp.int32, (_WIN_ROWS, _B), 0)
-    s = jnp.zeros((128, _B), jnp.float32)
-    for c in range(8):
-        off_c = offs[c]                                       # [1, B]
-        oht = ((off_c >> 6) == iota_r).astype(jnp.bfloat16)   # [64, B]
-        gathered = jax.lax.dot_general(
-            tabt, oht, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)               # [128, B]
-        s = s + jnp.where(iota_pair == (off_c & 63), gathered * ws[c], 0.0)
-    parity = jax.lax.broadcasted_iota(jnp.int32, (128, _B), 0) & 1
-    f0 = jnp.sum(jnp.where(parity == 0, s, 0.0), axis=0, keepdims=True)
-    f1 = jnp.sum(jnp.where(parity == 1, s, 0.0), axis=0, keepdims=True)
-    out_ref[0] = jnp.concatenate([f0, f1], axis=0)            # [2, B]
+    _paired_gather(offs, ws, pg0_ref[0, 0], pg1_ref[0, 0], out_ref)
 
 
 def _win_bwd_fused_kernel(t: int, pages_ref, res_ref,
                           xt_ref, bc_ref, g_ref, dtab_ref):
-    """Fused-geometry backward: `_win_bwd_kernel`'s accumulate loop with
-    off/w rebuilt in-kernel."""
+    """Fused-geometry backward: `_bwd_accumulate` with off/w rebuilt
+    in-kernel."""
     l = pl.program_id(0)
     b = pl.program_id(1)
 
@@ -472,29 +518,24 @@ def _win_bwd_fused_kernel(t: int, pages_ref, res_ref,
     offs, ws = _corner_geom(xt_ref[...], bc_ref[...],
                             res_ref[l, 0].astype(jnp.float32),
                             res_ref[l, 1], page * PAGE_ENTRIES, t)
-    row0 = page * _PAGE_ROWS
-    iota_pair = jax.lax.broadcasted_iota(jnp.int32, (128, _B), 0) >> 1
-    parity = jax.lax.broadcasted_iota(jnp.int32, (128, _B), 0) & 1
-    iota_r = jax.lax.broadcasted_iota(jnp.int32, (_WIN_ROWS, _B), 0)
-    g01 = jnp.where(parity == 0, g_ref[0, 0:1, :], g_ref[0, 1:2, :])
-    upd = jnp.zeros((_WIN_ROWS, 128), jnp.float32)
-    for c in range(8):
-        off_c = offs[c]
-        vt = jnp.where(iota_pair == (off_c & 63), g01 * ws[c],
-                       0.0).astype(jnp.bfloat16)              # [128, B]
-        oht = ((off_c >> 6) == iota_r).astype(jnp.bfloat16)   # [64, B]
-        upd = upd + jax.lax.dot_general(
-            oht, vt, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)               # [64, 128]
-
-    dtab_ref[0, pl.ds(row0, _WIN_ROWS), :] += upd
+    _bwd_accumulate(offs, ws, g_ref, page, dtab_ref)
 
 
-# Below this many (padded) points the windowed kernels lose their premise:
-# too few blocks to keep each block's Z-span inside a handful of regions,
-# so window aliasing grows — while XLA's serialized gather/scatter is still
-# cheap. The model path switches to `hash_encode_exact` under this bound.
-N_WINDOWED_MIN = 1 << 17
+# Absolute floor of the windowed regime (see `n_windowed_min`).
+N_WINDOWED_MIN = 1 << 15
+
+
+def n_windowed_min(t: int) -> int:
+    """Minimum (padded) point count for the windowed kernels at table size
+    t. A 512-point block spans ~ceil(B * n_segments / N) + 1 consecutive
+    equal-count segments, and the kernel window covers exactly 2 — so the
+    windowed premise needs block mass <= one segment:
+    N >= _B * n_segments(t) (262,144 at the reference-default 2^19; the
+    training step's coarse pass is exactly there at N_rand=1024 x 64
+    samples x 4 ray groups). Below this the model path switches to
+    `hash_encode_exact` — same index function, zero aliasing, XLA's
+    serialized gather is tolerable at such sizes."""
+    return max(N_WINDOWED_MIN, _B * n_segments(t))
 
 
 def hash_encode_exact(table, idx, weights):
@@ -502,7 +543,7 @@ def hash_encode_exact(table, idx, weights):
     windowed kernels — the small-batch fallback (and the CPU model path):
     XLA gather + weighted sum, O(1) per access, differentiable wrt table
     (scatter-add backward — serialized on TPU, which is why this only runs
-    under `N_WINDOWED_MIN`). Returns [N, L*F] level-major, the windowed
+    under `n_windowed_min`). Returns [N, L*F] level-major, the windowed
     contract, with zero aliasing."""
     l, t, f = table.shape
     n = idx.shape[2]
@@ -512,23 +553,23 @@ def hash_encode_exact(table, idx, weights):
     return out.transpose(1, 0, 2).reshape(n, l * f)
 
 
-def window_pages(xt_s, resolutions, t: int, region_caps=None):
+def window_pages(xt_s, resolutions, t: int, page_bounds=None):
     """[L, N/_B] window pages straight from sorted coords. The full
     [L, 8, N] corner-index array exists only inside XLA's fused
     min-reduction here (w's compute chain is dead code) — nothing
     block-sized is materialized to HBM."""
-    idx, _ = corner_indices_weights_win(xt_s, resolutions, t, region_caps)
+    idx, _ = corner_indices_weights_win(xt_s, resolutions, t, page_bounds)
     return window_offsets(idx, t)[0]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 4, 5))
 def hash_encode_win_fused(table, xt_s, resolutions, pages, interpret=False,
-                          region_caps=None):
+                          page_bounds=None):
     """Sorted-window hash-grid encode with in-kernel corner geometry.
 
     Same contract and results as `hash_encode_win(table, idx, w, pages)`
     where `idx, w = corner_indices_weights_win(xt_s, resolutions, t,
-    region_caps)` — but off/w never exist outside the kernel.
+    page_bounds)` — but off/w never exist outside the kernel.
     Differentiable wrt `table` only (sample positions are not trainable in
     this pipeline).
 
@@ -538,22 +579,22 @@ def hash_encode_win_fused(table, xt_s, resolutions, pages, interpret=False,
         N a multiple of _B.
       resolutions: static tuple of per-level int resolutions.
       pages: [L, N/_B] int32 from `window_pages(xt_s, resolutions, T,
-        region_caps)`.
-      region_caps: static tuple of per-region capacities (see
-        `normalize_caps`); None = uniform.
+        page_bounds)`.
+      page_bounds: static tuple of Z-CDF segment boundaries (see
+        `normalize_bounds`); None = uniform Z-volume split.
     """
     out, _ = _win_fused_impl(table, xt_s, resolutions, pages, interpret,
-                             region_caps)
+                             page_bounds)
     return out
 
 
-def _point_bc(xt_s, t, region_caps):
-    """[2, N] f32 per-point (region base, capacity mask) kernel input."""
-    base, capm = region_lookup(region_ids(xt_s, t), t, region_caps)
+def _point_bc(xt_s, t, page_bounds):
+    """[2, N] f32 per-point (segment base, capacity mask) kernel input."""
+    base, capm = page_lookup(zkey27(xt_s), t, page_bounds)
     return jnp.stack([base, capm]).astype(jnp.float32)
 
 
-def _win_fused_impl(table, xt_s, resolutions, pages, interpret, region_caps):
+def _win_fused_impl(table, xt_s, resolutions, pages, interpret, page_bounds):
     l, t, f = table.shape
     if f != 2:
         raise ValueError("windowed hash encode supports features=2")
@@ -563,8 +604,8 @@ def _win_fused_impl(table, xt_s, resolutions, pages, interpret, region_caps):
     if n % _B:
         raise ValueError(f"point count must be a multiple of {_B}")
     res_arr = _res_scalars(resolutions, t)
-    bc = _point_bc(xt_s, t, region_caps)
-    tabt = _pack(table)
+    bc = _point_bc(xt_s, t, page_bounds)
+    tabd = _pack_dup(table)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -574,11 +615,11 @@ def _win_fused_impl(table, xt_s, resolutions, pages, interpret, region_caps):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, _B), lambda i, j, pages, res: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _PAGE_ROWS, 128),
-                         lambda i, j, pages, res: (i, pages[i, j], 0),
+            pl.BlockSpec((1, 1, _PAGE_ROWS_DUP, 128),
+                         lambda i, j, pages, res: (i, pages[i, j], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _PAGE_ROWS, 128),
-                         lambda i, j, pages, res: (i, pages[i, j] + 1, 0),
+            pl.BlockSpec((1, 1, _PAGE_ROWS_DUP, 128),
+                         lambda i, j, pages, res: (i, pages[i, j] + 1, 0, 0),
                          memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((1, 2, _B), lambda i, j, pages, res: (i, 0, j),
                                memory_space=pltpu.VMEM),
@@ -588,27 +629,27 @@ def _win_fused_impl(table, xt_s, resolutions, pages, interpret, region_caps):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((l, 2, n), jnp.float32),
         interpret=interpret,
-    )(pages, res_arr, xt_s, bc, tabt, tabt)
+    )(pages, res_arr, xt_s, bc, tabd, tabd)
     # bc rides the residuals ([2, N] f32 — 6 MB at training shape): the
-    # backward would otherwise rebuild it (region_ids + the [R, N] one-hot
-    # region_lookup matmul) per pass — measured ~2 ms/step at 786k points
+    # backward would otherwise rebuild it (zkey27 + the [K, N]
+    # page_lookup compare-reduction) per pass — measured ~2 ms/step at
+    # 786k points
     return out.reshape(l * 2, n).T, ((l, t, f), xt_s, bc, pages)
 
 
 def _res_scalars(resolutions, t: int):
     """[L, 2] int32 scalar-prefetch rows: (level scale, dense-regime flag)."""
-    _, _, res_dense = region_geometry(t)
-    return jnp.asarray([[int(r), int(r <= res_dense)] for r in resolutions],
-                       jnp.int32)
+    return jnp.asarray([[int(r), int(r <= _res_dense())]
+                        for r in resolutions], jnp.int32)
 
 
 def _win_fused_fwd_rule(table, xt_s, resolutions, pages, interpret,
-                        region_caps):
+                        page_bounds):
     return _win_fused_impl(table, xt_s, resolutions, pages, interpret,
-                           region_caps)
+                           page_bounds)
 
 
-def _win_fused_bwd_rule(resolutions, interpret, region_caps, res, g):
+def _win_fused_bwd_rule(resolutions, interpret, page_bounds, res, g):
     (l, t, f), xt_s, bc, pages = res
     r = t * f // 128
     n = xt_s.shape[1]
@@ -640,74 +681,97 @@ def _win_fused_bwd_rule(resolutions, interpret, region_caps, res, g):
 hash_encode_win_fused.defvjp(_win_fused_fwd_rule, _win_fused_bwd_rule)
 
 
-def region_ids(xt, t: int):
-    """[N] uint32 region of each point: Morton code of its coarse cell on
-    the cubic region grid (a PREFIX of the sort key, so region ids are
-    monotone along the Z-sorted stream). xt: [3, N] in [0,1]."""
-    region_bits, _, _ = region_geometry(t)
-    rres = float(1 << (region_bits // 3))
-    rc = jnp.clip((xt * rres).astype(jnp.uint32), 0,
-                  jnp.uint32((1 << (region_bits // 3)) - 1))
-    return morton27(rc[0], rc[1], rc[2])
+# dense-morton regime only while every corner Morton code fits one kernel
+# window (corner coords <= res, and morton27(7,7,7) = 511 < 2048 while
+# coords of 8 already spread past bit 9): coarser-but-bigger grids have
+# occupancy GAPS along the Z-curve that blow per-block index spans
+# (measured 12-25% aliased corners at res 30/56 under the old 4096-entry
+# window) — the Z-CDF page hash keeps those levels window-tight instead.
+# At the reference default (base_res 16) no level is in this regime.
+RES_DENSE = 7
 
 
-def normalize_caps(t: int, region_caps):
-    """Validated per-region capacities. None -> uniform split of t over
-    the region grid. Returns a tuple of R ints: powers of two in
-    [1, WINDOW_ENTRIES], summing to at most t (entries past the sum are
-    simply unused table capacity)."""
-    region_bits, cap_bits, _ = region_geometry(t)
-    r = 1 << region_bits
-    if region_caps is None:
-        return (1 << cap_bits,) * r
-    caps = tuple(int(c) for c in region_caps)
-    if len(caps) != r:
-        raise ValueError(f"region_caps must have {r} entries, got {len(caps)}")
-    if not 0 < sum(caps) <= t:
-        raise ValueError(f"region_caps must sum to <= {t}, got {sum(caps)}")
-    for c in caps:
-        if c < 1 or c > WINDOW_ENTRIES or (c & (c - 1)):
-            raise ValueError(f"caps must be powers of two in "
-                             f"[1, {WINDOW_ENTRIES}]; got {c}")
-    return caps
+def _res_dense() -> int:
+    """DIAGNOSTIC override of the dense-regime bound (exact path and
+    kernel scalars read it together — the index function must be ONE
+    function across both paths, since the model switches on batch size).
+    SPINNERF_HG_RES_DENSE=63 makes levels res <= 63 index by global
+    injective Morton (morton27(63,63,63) = 2^18-1 < t at the default
+    2^19) — shared across segments, so coarse features keep instant-ngp's
+    global smoothing role and full gradient mass (a segment-partitioned
+    res-16 level splits each cell into up to n_segments copies, each
+    trained by a fraction of its gradients). NOT kernel-safe: mid-level
+    Morton codes jump past the 2-page window at octant crossings
+    (measured 12-25% batch-dependent aliasing at res 30/56), the round-3
+    defect class — use only with the exact-gather path (small batches)."""
+    return int(os.environ.get("SPINNERF_HG_RES_DENSE", RES_DENSE))
 
 
-def region_lookup(region, t: int, region_caps=None):
-    """(base [N] u32, capmask [N] u32) for per-point regions via a one-hot
-    f32 matmul (values < 2^24 are f32-exact; a serialized jnp.take gather
-    would cost ~60 ms at training N on TPU)."""
-    caps = normalize_caps(t, region_caps)
-    r = len(caps)
-    base_np = np.concatenate([[0], np.cumsum(caps)[:-1]]).astype(np.float32)
-    vals = jnp.asarray(np.stack([base_np,
-                                 np.asarray(caps, np.float32) - 1.0]))
-    iota = jnp.arange(r, dtype=jnp.uint32)[:, None]         # [R, 1]
-    onehot = (iota == region[None, :]).astype(jnp.float32)  # [R, N]
-    out = jax.lax.dot_general(vals, onehot,
-                              dimension_numbers=(((1,), (0,)), ((), ())))
-    return out[0].astype(jnp.uint32), out[1].astype(jnp.uint32)
+def zkey27(xt):
+    """[N] int32 Z-order key of each point on the FIXED 512^3 partition
+    grid (morton27 of floor(x*512)) — a prefix of the point's sort key
+    whenever the sort grid is >= 512/axis (always at the reference-default
+    finest_res), so page ids from `page_lookup` are monotone along the
+    Z-sorted stream; under a coarser sort grid they still span only the
+    (Morton-contiguous) children of each sort cell. xt: [3, N] in [0,1]."""
+    rc = jnp.clip((xt * 512.0).astype(jnp.uint32), 0, jnp.uint32(511))
+    return morton27(rc[0], rc[1], rc[2]).astype(jnp.int32)
 
 
-def region_geometry(t: int):
-    """(region_bits, cap_bits, collision-free resolution bound) for table
-    size t. Regions are cubic (region_bits divisible by 3), the FEWEST that
-    keep a region's cap = 2^cap_bits inside one kernel window — so a
-    region's entries always fit the 2-page DMA. t=2^19 (the reference
-    default): 512 regions x 1024 entries."""
-    log2t = t.bit_length() - 1
-    win_bits = WINDOW_ENTRIES.bit_length() - 1            # 12
-    region_bits = 3 * (-(-max(log2t - win_bits, 0) // 3))  # ceil to cubic
-    cap_bits = log2t - region_bits
-    # dense-morton regime only while the WHOLE level grid fits one kernel
-    # window: coarser-but-bigger grids (e.g. res 30-63 at 2^19) have
-    # occupancy GAPS along the Z-curve that blow per-block index spans
-    # (measured 12-25% aliased corners at res 30/56) — the region hash
-    # keeps those levels window-tight too
-    res_dense = 15                                        # (15+1)^3 = 4096
-    return region_bits, cap_bits, res_dense
+def n_segments(t: int):
+    return t // PAGE_ENTRIES
 
 
-def corner_indices_weights_win(xt, resolutions, t: int, region_caps=None):
+def uniform_bounds(t: int):
+    """Equal Z-VOLUME split of the 2^27 key space over t//PAGE_ENTRIES segments
+    — the uncalibrated default. Equivalent to the fixed cubic-region grid
+    this replaced: correct for space-filling scenes, but a scene occupying
+    a small fraction of [-bound, bound]^3 (every real capture at the
+    reference's bound=100, `run_nerf_helpers_tcnn.py:30`) then maps all its
+    samples into a handful of segments — measured 15.9 dB vs the 30.6 dB
+    XOR control on the §4 harness scene. Calibrate (`hashgrid.
+    calibrate_page_bounds`) for anything but synthetic full-cube points."""
+    n = n_segments(t)
+    step = (1 << 27) // n
+    return tuple(k * step for k in range(n))
+
+
+def normalize_bounds(t: int, page_bounds):
+    """Validated Z-CDF segment boundaries: a sorted tuple of t//PAGE_ENTRIES
+    int keys in [0, 2^27), first 0. Segment k covers Z-keys
+    [bounds[k], bounds[k+1]); its table entries are
+    [k*PAGE_ENTRIES, (k+1)*PAGE_ENTRIES). None -> `uniform_bounds`."""
+    if page_bounds is None:
+        return uniform_bounds(t)
+    b = tuple(int(v) for v in page_bounds)
+    if len(b) != n_segments(t):
+        raise ValueError(f"page_bounds must have {n_segments(t)} entries, "
+                         f"got {len(b)}")
+    if b[0] != 0:
+        raise ValueError("page_bounds[0] must be 0")
+    if any(lo > hi for lo, hi in zip(b, b[1:])) or b[-1] >= (1 << 27):
+        raise ValueError("page_bounds must be sorted and < 2^27")
+    return b
+
+
+def page_lookup(z27, t: int, page_bounds=None):
+    """(base [N] u32, capmask [N] u32) for per-point Z-keys: base =
+    PAGE_ENTRIES * (#bounds <= key - 1) via a fused broadcast-compare
+    reduction (a serialized jnp.searchsorted gather would cost ~60 ms at
+    training N on TPU). Density-calibrated bounds put ~equal training
+    sample counts in every segment, so the full table is used (at
+    near-XOR collision load) whatever fraction of the unit cube the scene
+    occupies AND a Z-sorted block's indices span ~(block/segment sample
+    ratio) consecutive segments."""
+    bounds = jnp.asarray(normalize_bounds(t, page_bounds), jnp.int32)
+    cmp = (z27[None, :] >= bounds[:, None]).astype(jnp.float32)  # [K, N]
+    page = jnp.sum(cmp, axis=0) - 1.0                 # [N] f32-exact (< 2^9)
+    base = (page * float(PAGE_ENTRIES)).astype(jnp.int32).astype(jnp.uint32)
+    capm = jnp.full_like(base, jnp.uint32(PAGE_ENTRIES - 1))
+    return base, capm
+
+
+def corner_indices_weights_win(xt, resolutions, t: int, page_bounds=None):
     """Window-local corner indices for the sorted-window kernel.
 
     xt: [3, N] in [0,1], coords-major (points SORTED along the Z-curve —
@@ -716,43 +780,50 @@ def corner_indices_weights_win(xt, resolutions, t: int, region_caps=None):
     to `HashGridEncoding.corner_indices_weights` but the index function
     replaced by a two-regime scheme:
 
-    COARSE levels (res <= res_dense = 15: the whole level grid fits one
-    4096-entry kernel window — see `region_geometry`):
+    COARSE levels (res <= RES_DENSE: corner Morton codes fit one
+    2048-entry kernel window):
         idx = morton27(cell)            # injective AND Z-window-local
 
-    FINE levels (everything above) — the POSITION-REGION hash:
-        region = morton27(floor(x * 2^(rb/3)))        # rb = 9 at 2^19
-        idx    = region * 2^cb + (xor_prime_hash(cell) & (2^cb - 1))
+    FINE levels (everything above) — the Z-CDF PAGE hash:
+        seg  = #(page_bounds <= zkey27(point)) - 1
+        idx  = seg * PAGE_ENTRIES + (xor_prime_hash(cell) & (PAGE_ENTRIES - 1))
 
-    where region comes from the POINT's position (a prefix of its sort
-    key), not the corner cell, and cb = log2 t - rb (1024 entries/region
-    at 2^19). Properties this buys:
+    where the segment comes from the POINT's Z-order key on the fixed
+    512^3 grid against calibrated equal-sample-count boundaries
+    (`hashgrid.calibrate_page_bounds`; uniform Z-volume split when None).
+    Properties this buys:
 
     - Z-window-locality BY CONSTRUCTION: all 8 corners of a point share
-      its region; consecutive Z-sorted points have equal-or-adjacent
-      regions, so a 512-point block's indices span a few contiguous
-      2^cb-entry ranges <= the kernel's 4096-entry window. (The previous
-      folded-Morton index keyed fine cells by their LOW 9 Morton bits,
-      which are pseudo-random across a block at realistic ray-sample
-      spreads — measured 68-94%% of fine-level corners aliased by the
-      window clamp, batch-DEPENDENTLY, costing ~9 dB vs an XOR-hash
-      control at equal capacity; see PARITY_RUN §4.)
+      its segment; segment ids are monotone along the Z-sorted stream, and
+      each segment holds ~1/n_segments of the training samples (measured
+      0.0% aliased corners at the 786k-point training shape) — a
+      512-point block's indices span ~1-2 consecutive PAGE_ENTRIES
+      ranges <= the kernel's 2048-entry window.
+    - FULL table capacity on real scenes: boundaries follow the sample
+      CDF, so a capture occupying 0.1% of [-bound, bound]^3 (the
+      reference's bound=100 default) still spreads over all t entries.
+      (The round-3 fixed cubic region grid mapped such scenes into a
+      handful of regions — effective capacity ~8k of 2^19 entries,
+      measured 15.9 dB vs the 30.6 dB XOR control, PARITY_RUN §4. The
+      earlier folded-Morton index instead aliased 68-94% of fine corners
+      batch-DEPENDENTLY, ~9 dB; both redesigns were driven by the same
+      harness.)
     - Batch-independence: idx is a pure function of (point position,
-      cell) — no dependence on which other points share the batch.
-    - Collisions are confined within a region (cells of one region
-      compete for its 2^cb entries via the reference's XOR-prime hash,
-      `run_nerf_helpers_tcnn.py` semantics); region load follows sample
-      density rather than being uniform — the remaining gap to an ideal
-      allocation-calibrated map (instant-ngp §4: hash grids train
-      through collisions; the PATTERN is a free design axis).
-    - A cell read from points in different regions (region-boundary
-      cells) resolves to different entries — equivalent to a hard
-      spatial partition of the hash table (block-hash grids), a known
-      benign discontinuity at 1/8-scene granularity.
+      cell) given the static bounds — no dependence on which other points
+      share the batch.
+    - Collisions are confined within a segment (cells of one segment
+      compete for its PAGE_ENTRIES entries via the reference's XOR-prime
+      hash, `run_nerf_helpers_tcnn.py` semantics) at near-XOR load
+      (2.47 vs ~2.8 sample-weighted distinct cells/entry at the finest
+      level on the §4 scene; instant-ngp §4: hash grids train through
+      collisions; the PATTERN is a free design axis).
+    - A cell read from points in different segments (boundary cells)
+      resolves to different entries — equivalent to a hard spatial
+      partition of the hash table (block-hash grids), a known benign
+      discontinuity, here at equal-density granularity.
     """
     if t & (t - 1):
         raise ValueError("table size must be a power of two")
-    region_bits, cap_bits, res_dense = region_geometry(t)
     p1 = jnp.uint32(_PRIMES[1])
     p2 = jnp.uint32(_PRIMES[2])
     scales = jnp.asarray(resolutions, xt.dtype)
@@ -765,15 +836,13 @@ def corner_indices_weights_win(xt, resolutions, t: int, region_caps=None):
     x0f = jnp.minimum(jnp.floor(xs), scales[:, None, None] - 1.0)
     frac = xs - x0f
     x0 = x0f.astype(jnp.uint32)
-    # the point's region: prefix of the sort key (monotone along the
-    # Z-sorted stream). [N], shared by all levels and corners. Its base
-    # entry + in-region hash mask come from the (possibly calibrated)
-    # capacity tables via a one-hot matmul — NOT jnp.take, whose serialized
-    # TPU gather would cost ~60 ms at training point counts.
-    region = region_ids(xt, t)                             # [N] uint32
-    base, capm = region_lookup(region, t, region_caps)     # [N] each, u32
+    # the point's Z-CDF segment: from its Z-key against the (possibly
+    # calibrated) boundaries via a fused compare-reduction — NOT jnp.take
+    # or searchsorted, whose serialized TPU gathers would cost ~60 ms at
+    # training point counts. [N], shared by all levels and corners.
+    base, capm = page_lookup(zkey27(xt), t, page_bounds)   # [N] each, u32
     # dense-morton regime per level (static python bools)
-    dense_l = jnp.asarray([r <= res_dense for r in resolutions])[:, None]
+    dense_l = jnp.asarray([r <= _res_dense() for r in resolutions])[:, None]
     # the 8 corners take only TWO distinct values per axis (c and c+1):
     # spread the bits 2x3 times instead of 8x3 for the morton regime
     sp_lo = [[_spread9(x0[:, a, :] + np.uint32(d)) << a for a in range(3)]
@@ -850,7 +919,7 @@ unsort_columns.defvjp(_unsort_fwd, _unsort_bwd)
 
 
 def encode_win(table, x, resolutions, *, interpret=False, use_kernel=True,
-               region_caps=None):
+               page_bounds=None):
     """Full windowed hash-grid encode of UNSORTED points.
 
     x: [N, 3] in [0,1]; table [L, T, 2]. Returns [N, L*2] float32
@@ -858,9 +927,9 @@ def encode_win(table, x, resolutions, *, interpret=False, use_kernel=True,
     Sorts points along the Z-curve, encodes with the windowed kernel (or
     with `hash_encode_exact` — the same index function through a plain XLA
     gather, no window-clamp aliasing — when `use_kernel=False` or the batch
-    is under `N_WINDOWED_MIN`), and restores the caller's point order.
-    Fully differentiable wrt `table`. `region_caps` selects calibrated
-    per-region capacities (see `normalize_caps`); it changes the index
+    is under `n_windowed_min(T)`), and restores the caller's point order.
+    Fully differentiable wrt `table`. `page_bounds` selects calibrated
+    Z-CDF segment boundaries (see `normalize_bounds`); it changes the index
     semantics and must match the caps the table was trained with.
     (`hash_encode_win_xla` remains the bit-identical kernel test oracle.)
     """
@@ -868,12 +937,12 @@ def encode_win(table, x, resolutions, *, interpret=False, use_kernel=True,
     n = x.shape[0]
     n_pad = -(-n // _B) * _B
     xt_s, perm, inv_perm = sort_perm(x, float(max(resolutions)), n_pad)
-    if use_kernel and n_pad >= N_WINDOWED_MIN:
-        pages = window_pages(xt_s, resolutions, t, region_caps)
+    if use_kernel and n_pad >= n_windowed_min(t):
+        pages = window_pages(xt_s, resolutions, t, page_bounds)
         out = hash_encode_win_fused(table, xt_s, tuple(resolutions), pages,
-                                    interpret, region_caps)
+                                    interpret, page_bounds)
     else:
-        idx, w = corner_indices_weights_win(xt_s, resolutions, t, region_caps)
+        idx, w = corner_indices_weights_win(xt_s, resolutions, t, page_bounds)
         out = hash_encode_exact(table, idx, w)
     return permute_rows(out, inv_perm, perm)[:n]          # [N, L*F]
 

@@ -73,14 +73,14 @@ def build_model(cfg: Config, semantic: bool = False, fine: bool = False):
                          compute_dtype=jnp.dtype(cfg.compute_dtype))
 
 
-def _scene_region_caps(bank, model):
-    """Calibrate the windowed hash's per-region capacities from the ray
+def _scene_page_bounds(bank, model):
+    """Calibrate the windowed hash's Z-CDF segment boundaries from the ray
     bank: a deterministic stratified pixel/depth grid over the training
-    poses approximates the training-point density (any caps are a VALID
-    index function — miscalibration only raises window aliasing, never
-    wrong results — so the NDC approximation of using world rays is fine).
-    """
-    from spinnerf_tpu.models.hashgrid import calibrate_region_caps
+    poses approximates the training-point density (any bounds are a VALID
+    index function — miscalibration only raises window aliasing and
+    collision load, never wrong results — so the NDC approximation of
+    using world rays is fine)."""
+    from spinnerf_tpu.models.hashgrid import calibrate_page_bounds
     h, w, focal = bank.hwf
     poses = np.asarray(bank.poses)
     ys = np.linspace(0.5, h - 0.5, 24)
@@ -97,7 +97,7 @@ def _scene_region_caps(bank, model):
                    .reshape(-1, 3))
     x01 = np.clip((np.concatenate(pts) + model.bound) / (2.0 * model.bound),
                   0.0, 1.0)
-    return calibrate_region_caps(x01, model.log2_table_size)
+    return calibrate_page_bounds(x01, model.log2_table_size)
 
 
 def render_config(cfg: Config, *, train: bool) -> RenderConfig:
@@ -146,31 +146,40 @@ def train_config(cfg: Config) -> TrainConfig:
 class Trainer:
     """End-to-end DS-NeRF-style trainer on one scene."""
 
-    def _persist_region_caps(self, caps):
-        """Pin the windowed hash's region capacities to the experiment.
+    def _persist_page_bounds(self, bounds):
+        """Pin the windowed hash's Z-CDF segment boundaries to the
+        experiment.
 
-        Calibrated caps change how table entries are indexed, so they must
-        travel with the trained table. A sidecar `region_caps.json` in the
-        exp dir is the authority: written on the experiment's first run,
-        read back (overriding the flag-derived value) on every resume —
-        flipping --hash_region_calib, swapping the ray bank, or future
+        Calibrated bounds change how table entries are indexed, so they
+        must travel with the trained table. A sidecar `page_bounds.json` in
+        the exp dir is the authority: written on the experiment's first
+        run, read back (overriding the flag-derived value) on every resume
+        — flipping --hash_region_calib, swapping the ray bank, or future
         changes to the calibration code can then never silently read a
         trained table under a different index map.
         """
         import json
-        path = self.exp_dir / "region_caps.json"
+        legacy = self.exp_dir / "region_caps.json"
+        if legacy.exists() and json.loads(legacy.read_text()).get(
+                "region_caps") is not None:
+            raise RuntimeError(
+                f"{legacy} pins the retired per-region-capacity index "
+                f"scheme; this build indexes by Z-CDF page bounds. Retrain "
+                f"the experiment (or delete the sidecar if the checkpoints "
+                f"are disposable).")
+        path = self.exp_dir / "page_bounds.json"
         if path.exists():
-            saved = json.loads(path.read_text())["region_caps"]
+            saved = json.loads(path.read_text())["page_bounds"]
             saved = None if saved is None else tuple(int(c) for c in saved)
-            if saved != caps:
+            if saved != bounds:
                 self.log(
-                    f"region_caps: using the experiment's pinned value from "
+                    f"page_bounds: using the experiment's pinned value from "
                     f"{path.name} ({'calibrated' if saved else 'uniform'}); "
                     f"the flag-derived value differs and is ignored")
             return saved
         path.write_text(json.dumps(
-            {"region_caps": None if caps is None else list(caps)}))
-        return caps
+            {"page_bounds": None if bounds is None else list(bounds)}))
+        return bounds
 
     def __init__(self, cfg: Config, *, scene: llff.Scene | None = None,
                  mesh=None, lpips_fn=None, log=print):
@@ -211,20 +220,22 @@ class Trainer:
         self.model = build_model(cfg, semantic=cfg.mvseg)
         from spinnerf_tpu.models.hashgrid import HashGridField
         if isinstance(self.model, HashGridField):
-            # opt-in: calibrate the windowed hash's per-region table
-            # capacities to this scene's ray-sample density. The uniform
-            # default already measures <1%% fine-level window aliasing at
-            # training batch shapes (PARITY_RUN §4); calibration is for
-            # heavily concentrated scenes. The caps are part of the table's
-            # INDEX SEMANTICS, so the experiment dir pins them: a resumed
-            # checkpoint reads the table under the caps it was trained
-            # with even if the flag, the ray bank, or the calibration code
-            # changes (`_persist_region_caps`).
-            caps = (_scene_region_caps(self.bank, self.model)
-                    if cfg.hash_region_calib else None)
-            caps = self._persist_region_caps(caps)
-            if caps is not None:
-                self.model = self.model.clone(region_caps=caps)
+            # ON BY DEFAULT: calibrate the windowed hash's Z-CDF segment
+            # boundaries to this scene's ray-sample density. The uniform
+            # default collapses any scene occupying a small fraction of
+            # [-bound, bound]^3 (every real capture at the reference's
+            # bound=100) onto a few segments — measured 15.9 dB vs the
+            # 30.6 dB XOR control on the §4 harness (PARITY_RUN). The
+            # bounds are part of the table's INDEX SEMANTICS, so the
+            # experiment dir pins them: a resumed checkpoint reads the
+            # table under the bounds it was trained with even if the flag,
+            # the ray bank, or the calibration code changes
+            # (`_persist_page_bounds`).
+            bounds = (_scene_page_bounds(self.bank, self.model)
+                      if cfg.hash_region_calib else None)
+            bounds = self._persist_page_bounds(bounds)
+            if bounds is not None:
+                self.model = self.model.clone(page_bounds=bounds)
         # the fine network may be sized separately (`run_nerf.py:417`)
         self.fine_model = self.model
         if (cfg.no_tcnn and (cfg.netdepth_fine != cfg.netdepth

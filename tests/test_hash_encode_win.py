@@ -16,7 +16,8 @@ def _clustered_indices(rng, l, t, n):
     for li in range(l):
         for b in range(n // hw._B):
             idx[li, :, b * hw._B:(b + 1) * hw._B] = (
-                base[li, b] + rng.randint(0, 1500, (8, hw._B)))
+                base[li, b] + rng.randint(0, hw.WINDOW_ENTRIES // 2,
+                                          (8, hw._B)))
     idx[0, 0, :40] = rng.randint(0, t, 40)      # outliers -> window aliasing
     return np.clip(idx, 0, t - 1)
 
@@ -145,22 +146,25 @@ def test_encode_win_order_invariance_and_grad():
 
 def test_encode_win_kernel_matches_oracle_end_to_end(monkeypatch):
     """Windowed-kernel encode vs the exact gather on UNIFORM points (the
-    hard case for the old folded-Morton index): the position-region hash
-    must keep window aliasing near zero, so the two paths agree."""
+    hard case for the old folded-Morton index): the Z-CDF page hash must
+    keep window aliasing near zero at the windowed regime's mass ratio
+    (blocks <= one equal-count segment: n >= _B * n_segments), so the two
+    paths agree."""
     rng = np.random.RandomState(6)
     l, t = 4, 8192
-    n = 2 * hw._B
+    n = hw._B * hw.n_segments(8192)   # = n_windowed_min(t): 8 blocks
     resolutions = [16, 64, 256, 1024]
     table = jnp.asarray(rng.randn(l, t, 2).astype(np.float32))
     x = rng.rand(n, 3).astype(np.float32)
-    monkeypatch.setattr(hw, "N_WINDOWED_MIN", 0)  # force the kernel path
+    monkeypatch.setattr(hw, "n_windowed_min",
+                        lambda t: 0)              # force the kernel path
     out_k = hw.encode_win(table, jnp.asarray(x), resolutions,
                           interpret=True, use_kernel=True)
     out_o = hw.encode_win(table, jnp.asarray(x), resolutions,
                           use_kernel=False)       # exact gather
     # the premise the kernel path rests on, measured: sub-percent overflow
-    # even for uniform points at the small-N floor (2 blocks); the kernel
-    # must match the exact gather everywhere EXCEPT those aliased corners
+    # for uniform points at the windowed-regime floor; the kernel must
+    # match the exact gather everywhere EXCEPT those aliased corners
     n_pad = -(-n // hw._B) * hw._B
     xt_s, perm, inv_perm = hw.sort_perm(jnp.asarray(x),
                                         float(max(resolutions)), n_pad)
@@ -217,14 +221,14 @@ def test_fused_kernel_matches_standalone_and_oracle():
     assert float(jnp.abs(gf - go).max()) < 0.02 * gscale
 
 
-def test_region_caps_calibration_and_overflow():
-    """The position-region hash must keep window aliasing in the low
-    percents on a realistic (nonuniform, ray-like) point distribution at
+def test_page_bounds_calibration_and_overflow():
+    """The Z-CDF page hash must keep window aliasing in the low percents
+    on a realistic (nonuniform, ray-like) point distribution at
     training-batch block counts, with BOTH the uniform default and
-    density-calibrated caps (the old folded-Morton index measured 68-94%%
-    here — the round-3 defect this index function replaced). Also checks
-    `calibrate_region_caps` invariants."""
-    from spinnerf_tpu.models.hashgrid import calibrate_region_caps
+    density-calibrated bounds (the old folded-Morton index measured
+    68-94%% here — the round-3 defect the page hash's predecessors
+    replaced). Also checks `calibrate_page_bounds` invariants."""
+    from spinnerf_tpu.models.hashgrid import calibrate_page_bounds
     rng = np.random.RandomState(11)
     t = 1 << 19
     # ray-like samples: origins clustered in a corner, segments across [0,1]
@@ -237,40 +241,45 @@ def test_region_caps_calibration_and_overflow():
     x = np.clip((o[:, None] + ts[None, :, None] * d[:, None]),
                 0, 1).reshape(-1, 3).astype(np.float32)[:n]
 
-    caps = calibrate_region_caps(x[::4], 19)
-    assert len(caps) == 512 and 0 < sum(caps) <= t
-    assert all(c >= 1 and c <= hw.PAGE_ENTRIES and (c & (c - 1)) == 0
-               for c in caps)
+    bounds = calibrate_page_bounds(x[::4], 19)
+    assert len(bounds) == hw.n_segments(t) == 512
+    assert bounds[0] == 0 and bounds[-1] < (1 << 27)
+    assert all(a < b for a, b in zip(bounds, bounds[1:]))
 
     res = [16, 128, 1024, 8192]
     xt_s, _, _ = hw.sort_perm(jnp.asarray(x), float(max(res)), n)
     idx_u, _ = hw.corner_indices_weights_win(xt_s, res, t)
-    idx_c, w_c = hw.corner_indices_weights_win(xt_s, res, t, caps)
-    assert float(hw.overflow_fraction(idx_u, t)) < 0.05
-    assert float(hw.overflow_fraction(idx_c, t)) < 0.10
+    idx_c, w_c = hw.corner_indices_weights_win(xt_s, res, t, bounds)
+    # uniform bounds on a CONCENTRATED distribution leave heavy segments
+    # whose blocks overspill the window (the capacity collapse is the real
+    # defect there, PARITY_RUN §4); calibration must fix the aliasing too
+    assert float(hw.overflow_fraction(idx_u, t)) < 0.10
+    assert float(hw.overflow_fraction(idx_c, t)) < 0.03
     # calibrated indices stay in range and weights are untouched
     assert int(jnp.min(idx_c)) >= 0 and int(jnp.max(idx_c)) < t
     np.testing.assert_allclose(np.asarray(w_c).sum(1), 1.0, atol=1e-4)
 
 
 def test_fused_kernel_matches_exact_with_caps():
-    """Fused kernels with calibrated caps reproduce the exact gather on
-    the SAME calibrated indices (window aliasing excluded, as in the
-    end-to-end test)."""
-    from spinnerf_tpu.models.hashgrid import calibrate_region_caps
+    """Fused kernels with calibrated page bounds reproduce the exact
+    gather on the SAME calibrated indices (window aliasing excluded, as in
+    the end-to-end test)."""
+    from spinnerf_tpu.models.hashgrid import calibrate_page_bounds
     rng = np.random.RandomState(12)
     l, t = 3, 1 << 14
-    n = 2 * hw._B
+    # equal-count bounds make each 512-point block span
+    # ~n_segments * (B / n) consecutive segments: keep that under the
+    # 2-segment-per-window budget, as training batches do (a training
+    # block is ~1/1536 of the batch mass; this test checks kernel-vs-exact
+    # CONSISTENCY with bounds, not the aliasing statistics — those are the
+    # previous test's job)
+    n = 16 * hw._B
     res = (16, 256, 2048)
     table = jnp.asarray(rng.randn(l, t, 2).astype(np.float32))
-    # two tight clusters centered INSIDE region octants (region planes sit
-    # at 0.5 for t=2^14's 2x2x2 grid) -> one window-local block per cluster
-    # (this test checks kernel-vs-exact CONSISTENCY with caps, not the
-    # aliasing statistics — those are the previous test's job)
     centers = np.array([[0.25, 0.25, 0.25], [0.75, 0.75, 0.75]])
     x = np.clip(centers.repeat(n // 2, 0)[:n]
                 + rng.randn(n, 3) * 0.02, 0, 1).astype(np.float32)
-    caps = calibrate_region_caps(x, 14)
+    caps = calibrate_page_bounds(x, 14)
     xt_s, _, _ = hw.sort_perm(jnp.asarray(x), float(max(res)), n)
     idx, w = hw.corner_indices_weights_win(xt_s, res, t, caps)
     pages = hw.window_pages(xt_s, res, t, caps)
@@ -303,24 +312,26 @@ def test_fused_kernel_matches_exact_with_caps():
 
 
 def test_corner_indices_regimes():
-    """Dense-morton levels (whole grid fits one window, res <= 15) are
-    INJECTIVE; region-hashed levels keep collisions rare while capacity
-    allows (the in-region XOR-prime mixing plus per-point regions)."""
+    """Dense-morton levels (corner mortons fit one window, res <= 7) are
+    INJECTIVE; page-hashed levels keep collisions rare while capacity
+    allows (the in-segment XOR-prime mixing plus per-point segments)."""
     rng = np.random.RandomState(7)
     t = 1 << 19
     x = jnp.asarray(rng.rand(4096, 3).astype(np.float32))
 
-    res = 15           # (15+1)^3 = one window: injective morton
+    res = hw.RES_DENSE           # corner coords <= 7: injective morton
     idx, w = hw.corner_indices_weights_win(x.T, [res], t)
     idx = np.asarray(idx)[0]                      # [8, N]
     cells = np.floor(np.asarray(x) * res).astype(np.int64)
     corner0 = cells[:, 0] * (1 << 20) + cells[:, 1] * (1 << 10) + cells[:, 2]
     assert len(np.unique(idx[0])) == len(np.unique(corner0))
+    assert idx.max() < hw.WINDOW_ENTRIES
     np.testing.assert_allclose(np.asarray(w)[0].sum(0), 1.0, atol=1e-5)
 
-    # res=70 is region-hashed: distinct cells must map to mostly distinct
-    # entries at this occupancy (~490 cells/region vs 1024-entry caps);
-    # point-region duplication of boundary cells can only ADD entries
+    # res=70 is page-hashed: distinct cells must map to mostly distinct
+    # entries at this occupancy (~uniform points: ~670 cells/segment vs
+    # 1024-entry segments); point-segment duplication of boundary cells
+    # can only ADD entries
     res = 70
     idx70 = np.asarray(hw.corner_indices_weights_win(x.T, [res], t)[0])[0]
     cells = np.floor(np.asarray(x) * res).astype(np.int64)
@@ -451,7 +462,7 @@ def test_boundary_point_clamped_to_grid():
     window span and, for 2^12..2^14 tables, the table itself)."""
     rng = np.random.RandomState(13)
     l, t = 2, 1 << 12                 # smallest windowed table
-    res = (4, 15)                     # both levels in the dense regime
+    res = (4, 7)                      # both levels in the dense regime
     n = hw._B
     x = rng.rand(n, 3).astype(np.float32)
     x[:64] = 1.0                      # exact boundary points
@@ -461,7 +472,7 @@ def test_boundary_point_clamped_to_grid():
     idx = np.asarray(idx)
     for li, r in enumerate(res):
         # morton codes are sparse: coords <= r live under the next
-        # power-of-two cube (4096 = one window at the res_dense=15 bound)
+        # power-of-two cube (512 = within one window at RES_DENSE=7)
         bound = (1 << int(np.ceil(np.log2(r + 1)))) ** 3
         assert idx[li].max() < bound <= hw.WINDOW_ENTRIES
     assert idx.max() < t
@@ -475,25 +486,25 @@ def test_boundary_point_clamped_to_grid():
     assert float(jnp.abs(out_f - out_e).max()) < 0.02 * scale
 
 
-def test_encode_win_threads_region_caps():
+def test_encode_win_threads_page_bounds():
     """`encode_win` (the non-sorted_extra model path) must apply calibrated
-    region caps — a caps-configured encoding read through this entry point
-    previously fell back to the uniform index function silently (round-3
-    advisor finding)."""
-    from spinnerf_tpu.models.hashgrid import calibrate_region_caps
+    page bounds — a bounds-configured encoding read through this entry
+    point previously fell back to the uniform index function silently
+    (round-3 advisor finding)."""
+    from spinnerf_tpu.models.hashgrid import calibrate_page_bounds
     rng = np.random.RandomState(14)
     t = 1 << 19                       # 512 regions: calibration can't
     res = (16, 256, 2048)             # saturate back to the uniform split
     n = 700                           # exercises padding too
     x = np.clip(np.array([[0.2, 0.2, 0.2]]).repeat(n, 0)
                 + rng.randn(n, 3) * 0.25, 0, 1).astype(np.float32)
-    caps = calibrate_region_caps(x, 19)
-    assert caps != hw.normalize_caps(t, None)
+    caps = calibrate_page_bounds(x, 19)
+    assert caps != hw.uniform_bounds(t)
     table = jnp.asarray(
         rng.randn(3, t, 2).astype(np.float32) * 0.01)
 
     out = hw.encode_win(table, jnp.asarray(x), res, use_kernel=False,
-                        region_caps=caps)
+                        page_bounds=caps)
     # reference: exact gather on calibrated indices, unsorted manually
     n_pad = -(-n // hw._B) * hw._B
     xt_s, perm, inv_perm = hw.sort_perm(jnp.asarray(x), float(max(res)),

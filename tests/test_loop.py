@@ -167,21 +167,22 @@ def test_prepare_cadence_fires_in_loop(scene_dir, tmp_path):
 
 
 @pytest.mark.slow
-def test_region_caps_pinned_to_experiment(scene_dir, tmp_path):
-    """Calibrated region caps are part of the hash table's index semantics:
-    the experiment dir pins them in region_caps.json, and a resumed Trainer
-    reads the table under the PINNED caps even when --hash_region_calib is
-    flipped off (round-3 advisor finding: caps were silently re-derived)."""
+def test_page_bounds_pinned_to_experiment(scene_dir, tmp_path):
+    """Calibrated Z-CDF page bounds are part of the hash table's index
+    semantics: the experiment dir pins them in page_bounds.json, and a
+    resumed Trainer reads the table under the PINNED bounds even when
+    --hash_region_calib is flipped off (round-3 advisor finding: the
+    index map was silently re-derived)."""
     import json
     cfg = tiny_config(scene_dir, tmp_path, expname="caps", no_tcnn=False,
                       log2_hashmap_size=13, hash_impl="win_xla",
                       hash_region_calib=True, i_weights=2)
     tr = Trainer(cfg, log=lambda *a: None)
-    sidecar = tr.exp_dir / "region_caps.json"
+    sidecar = tr.exp_dir / "page_bounds.json"
     assert sidecar.exists()
-    pinned = json.loads(sidecar.read_text())["region_caps"]
-    assert pinned == (None if tr.model.region_caps is None
-                      else list(tr.model.region_caps))
+    pinned = json.loads(sidecar.read_text())["page_bounds"]
+    assert pinned == (None if tr.model.page_bounds is None
+                      else list(tr.model.page_bounds))
     tr.fit(n_iters=2, hooks=True)
     tr.ckpt.wait()
 
@@ -191,13 +192,13 @@ def test_region_caps_pinned_to_experiment(scene_dir, tmp_path):
                        hash_region_calib=False, i_weights=2)
     tr2 = Trainer(cfg2, log=lambda *a: None)
     assert tr2.state.step == 2
-    assert tr2.model.region_caps == tr.model.region_caps
+    assert tr2.model.page_bounds == tr.model.page_bounds
 
     # a fresh experiment with the flag off pins the uniform (None) value
     cfg3 = tiny_config(scene_dir, tmp_path, expname="caps_u", no_tcnn=False,
                        log2_hashmap_size=13, hash_impl="win_xla",
                        hash_region_calib=False)
     tr3 = Trainer(cfg3, log=lambda *a: None)
-    assert tr3.model.region_caps is None
+    assert tr3.model.page_bounds is None
     assert json.loads(
-        (tr3.exp_dir / "region_caps.json").read_text())["region_caps"] is None
+        (tr3.exp_dir / "page_bounds.json").read_text())["page_bounds"] is None

@@ -1,18 +1,20 @@
 """Hash-grid training QUALITY at the reference default size (2^19, 16 levels).
 
-The windowed encode's POSITION-REGION hash (`ops/hash_encode_win.py::
-corner_indices_weights_win`: dense morton for levels whose grid fits one
-window, `region(point) base + xor_prime_hash(cell) & cap` above) deviates
-from instant-ngp's global XOR-prime hash in its collision PATTERN: collisions
-are confined within 1/R-scene regions whose load follows sample density.
+The windowed encode's Z-CDF PAGE hash (`ops/hash_encode_win.py::
+corner_indices_weights_win`: `segment(point)*1024 + xor_prime_hash(cell) &
+1023`, segments = equal-sample-count cuts of the Z-order calibrated from
+the scene) deviates from instant-ngp's global XOR-prime hash in its
+collision PATTERN: collisions are confined within equal-density segments.
 A hash grid trains *through* collisions by construction (instant-ngp §4),
 but that must be DEMONSTRATED at the default size — not assumed — in BOTH
-execution regimes: the exact-gather fallback (batches < N_WINDOWED_MIN,
+execution regimes: the exact-gather fallback (batches < n_windowed_min,
 the default harness shape) and the real windowed kernels with their
-window-clamp aliasing (`--n-rand 1024+`). The retired round-3 folded-Morton
-index failed exactly this test (~9 dB batch-dependent aliasing, PARITY_RUN
-§4 history) — this harness is the standing regression gate for index-
-function redesigns, with `--hash-impl xla` as the XOR-prime control arm.
+window-clamp aliasing (`--n-rand 2048+`). TWO predecessor index functions
+failed exactly this test (folded-Morton: ~9 dB batch-dependent aliasing;
+fixed cubic regions: -15 dB capacity collapse on concentrated scenes —
+PARITY_RUN §4 history) — this harness is the standing regression gate for
+index-function redesigns, with `--hash-impl xla` as the XOR-prime control
+arm.
 
 This tool trains, on the SAME synthetic scene as `dynamic_check.py` (so the
 recorded torch-reference MLP trajectories in PARITY_RUN.md are directly
@@ -72,11 +74,14 @@ def run_arm(ws: Path, name: str, iters: int, model_flags: list[str],
         env.update(JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
     flags = list(BASE_FLAGS)
     if n_rand is not None:
-        # the windowed-kernel regime needs >= N_WINDOWED_MIN points per
-        # encode (131,072): at 32+32 samples that means N_rand >= 1024
-        # (4 ray groups x N_rand x 32 coarse points). The default 128
-        # stays on the exact-gather fallback — both regimes must be
-        # quality-proven (VERDICT r3 #3).
+        # the windowed-kernel regime needs >= n_windowed_min(2^19)
+        # points per encode (262,144): in prepare mode the step renders
+        # THREE ray groups (rgb/clf/depth — no inp group), so the coarse
+        # pass is N_rand x 3 x 32 points and N_rand must be >= 4096 (2048
+        # leaves the coarse encode on the serialized exact-gather path:
+        # measured 3 s/step vs ~90 ms). The default 128 stays on the
+        # exact-gather fallback — both regimes must be quality-proven
+        # (VERDICT r3 #3).
         flags[flags.index("--N_rand") + 1] = str(n_rand)
     cmd = [sys.executable, "-m", "spinnerf_tpu.cli", "train",
            "--expname", name, "--basedir", str(run_dir / "logs"),
@@ -135,10 +140,11 @@ def main():
                     "tiny point count; the windowed kernels exist because "
                     "this path does not scale)")
     ap.add_argument("--n-rand", type=int, default=None,
-                    help="override the hashgrid arm's ray batch (>=1024 at "
-                    "32+32 samples puts every encode above N_WINDOWED_MIN, "
-                    "engaging the REAL windowed kernels instead of the "
-                    "exact-gather fallback)")
+                    help="override the hashgrid arm's ray batch (>=4096 at "
+                    "32+32 samples and 3 prepare-mode ray groups puts "
+                    "every encode above n_windowed_min(2^19), engaging the "
+                    "REAL windowed kernels instead of the exact-gather "
+                    "fallback)")
     ap.add_argument("--skip-mlp", action="store_true",
                     help="reuse an existing mlp_run/mlp.log in the workdir "
                     "(e.g. copied from a sibling run with identical flags)")
