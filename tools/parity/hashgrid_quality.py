@@ -145,6 +145,11 @@ def main():
                     "every encode above n_windowed_min(2^19), engaging the "
                     "REAL windowed kernels instead of the exact-gather "
                     "fallback)")
+    ap.add_argument("--no-calib", action="store_true",
+                    help="disable Z-CDF page-bound density calibration "
+                    "(`Config.hash_region_calib`) — the uniform Z-volume "
+                    "split ablation; measured -11.6 dB on the (concentrated) "
+                    "harness scene, PARITY_RUN §4")
     ap.add_argument("--skip-mlp", action="store_true",
                     help="reuse an existing mlp_run/mlp.log in the workdir "
                     "(e.g. copied from a sibling run with identical flags)")
@@ -167,6 +172,8 @@ def main():
             hash_flags += ["--table_wd", args.table_wd]
         if args.hash_impl is not None:
             hash_flags += ["--hash_impl", args.hash_impl]
+        if args.no_calib:
+            hash_flags += ["--hash_region_calib", "False"]
         times["hashgrid_wall_s"] = run_arm(
             ws, "hashgrid", args.iters, hash_flags, on_tpu=not args.cpu,
             n_rand=args.n_rand)
