@@ -22,35 +22,56 @@ from spinnerf_tpu.data import raybank
 from spinnerf_tpu.eval.metrics import to8b
 
 
-def _maps_from_fine(fine, h, w):
-    """Package a RenderResult.fine into the per-pixel numpy maps dict."""
-    def shape(x, extra=()):
-        return np.asarray(x).reshape((h, w) + tuple(extra))
+# Light maps are one value per pixel; the heavy ones ("weights", "z_vals",
+# "alpha") are per-SAMPLE [H, W, S] tensors — at production shape (1008x567,
+# 64+64 samples, f32) each is ~290 MB/frame. Renderers therefore return only
+# the maps the caller asks for, and the selection happens INSIDE the jit so
+# XLA dead-code-eliminates the unrequested stacks entirely: they never hit
+# HBM across chunks, let alone the host link. (Before this, every periodic
+# panel/testset/guidance render shipped ~900 MB over the device relay —
+# measured ~10x the whole train-interval cost at statue scale.)
+LIGHT_MAPS = ("rgb", "disp", "acc", "depth")
+HEAVY_MAPS = ("weights", "z_vals", "alpha")
 
-    out = {
-        "rgb": shape(fine.rgb, (3,)),
-        "disp": shape(fine.disp),
-        "acc": shape(fine.acc),
-        "depth": shape(fine.depth),
-        "weights": shape(fine.weights, (fine.weights.shape[-1],)),
-        "z_vals": shape(fine.z_vals, (fine.z_vals.shape[-1],)),
-        "alpha": shape(fine.alpha, (fine.alpha.shape[-1],)),
-    }
-    if fine.prob is not None:
-        out["prob"] = shape(fine.prob)
+
+def _default_maps(cfg: RenderConfig):
+    return LIGHT_MAPS + (("prob",) if cfg.semantic else ())
+
+
+def _select_fine(fine, maps):
+    """Pick the requested RenderOutputs fields (runs inside jit)."""
+    out = {}
+    for m in maps:
+        v = getattr(fine, m)
+        if v is None:
+            raise ValueError(
+                f"requested map '{m}' is not produced by this renderer "
+                f"(semantic head off?)")
+        out[m] = v
     return out
+
+
+def _to_host_maps(sel: dict, h, w):
+    """Flat [N, ...] device maps -> {name: numpy [H, W, ...]}."""
+    return {k: np.asarray(v).reshape((h, w) + v.shape[1:])
+            for k, v in sel.items()}
 
 
 def make_frame_renderer(hwf, field_fn, cfg: RenderConfig, *, near, far,
                         ndc: bool = False, chunk: int = 8192,
                         fine_field_fn=None, render_factor: int = 0,
-                        mesh=None):
+                        mesh=None, maps=None):
     """Build a jitted `(key, c2w) -> per-pixel maps` renderer.
 
     Reuse one renderer across a pose list: an un-jitted
     `render_rays_chunked` re-traces its whole graph for every frame
     (seconds per pose over a 120-frame spiral video).
+
+    maps: which per-pixel maps to return (default LIGHT_MAPS + "prob" when
+    cfg.semantic). Request HEAVY_MAPS entries only when you will read them —
+    see the note above LIGHT_MAPS.
     """
+    maps = _default_maps(cfg) if maps is None else tuple(maps)
     h, w, focal = hwf
     if render_factor:
         h, w, focal = (h // render_factor, w // render_factor,
@@ -60,36 +81,38 @@ def make_frame_renderer(hwf, field_fn, cfg: RenderConfig, *, near, far,
     def _render(key, c2w):
         batch, _ = raybank.frame_ray_batch((h, w, focal), c2w, near, far,
                                            ndc=ndc)
-        return rendering.render_rays_chunked(key, batch, field_fn, cfg,
-                                             chunk,
-                                             fine_field_fn=fine_field_fn,
-                                             mesh=mesh)
+        res = rendering.render_rays_chunked(key, batch, field_fn, cfg,
+                                            chunk,
+                                            fine_field_fn=fine_field_fn,
+                                            mesh=mesh)
+        return _select_fine(res.fine, maps)
 
     def render(key, c2w):
-        return _maps_from_fine(_render(key, jnp.asarray(c2w)).fine, h, w)
+        return _to_host_maps(_render(key, jnp.asarray(c2w)), h, w)
 
     return render
 
 
 def render_frame(key, c2w, hwf, field_fn, cfg: RenderConfig, *,
                  near, far, ndc: bool = False, chunk: int = 8192,
-                 fine_field_fn=None, render_factor: int = 0):
+                 fine_field_fn=None, render_factor: int = 0, maps=None):
     """Render one camera pose to per-pixel maps.
 
-    Returns dict with rgb [H,W,3], disp/acc/depth [H,W], weights/z_vals
-    [H,W,S], alpha [H,W,S] (+ prob [H,W] when cfg.semantic).
+    Returns dict with rgb [H,W,3], disp/acc/depth [H,W] (+ prob [H,W] when
+    cfg.semantic); request weights/z_vals/alpha [H,W,S] via `maps`.
     For many poses at the same intrinsics, build `make_frame_renderer` once.
     """
     return make_frame_renderer(hwf, field_fn, cfg, near=near, far=far,
                                ndc=ndc, chunk=chunk,
                                fine_field_fn=fine_field_fn,
-                               render_factor=render_factor)(key, c2w)
+                               render_factor=render_factor,
+                               maps=maps)(key, c2w)
 
 
 def make_param_frame_renderer(hwf, apply_fn, cfg: RenderConfig, *, near, far,
                               ndc: bool = False, chunk: int = 8192,
                               render_factor: int = 0, mesh=None,
-                              fine_apply_fn=None):
+                              fine_apply_fn=None, maps=None):
     """Like `make_frame_renderer` but the field params are jit ARGUMENTS:
     `(params, key, c2w) -> maps` with params = {"coarse": ..., ["fine": ...]}.
 
@@ -97,6 +120,7 @@ def make_param_frame_renderer(hwf, apply_fn, cfg: RenderConfig, *, near, far,
     video/testset hooks then render with the updated weights without
     recompiling (params as closure constants would recompile every hook).
     """
+    maps = _default_maps(cfg) if maps is None else tuple(maps)
     h, w, focal = hwf
     if render_factor:
         h, w, focal = (h // render_factor, w // render_factor,
@@ -116,12 +140,12 @@ def make_param_frame_renderer(hwf, apply_fn, cfg: RenderConfig, *, near, far,
             fine = coarse
         batch, _ = raybank.frame_ray_batch((h, w, focal), c2w, near, far,
                                            ndc=ndc)
-        return rendering.render_rays_chunked(key, batch, coarse, cfg, chunk,
-                                             fine_field_fn=fine, mesh=mesh)
+        res = rendering.render_rays_chunked(key, batch, coarse, cfg, chunk,
+                                            fine_field_fn=fine, mesh=mesh)
+        return _select_fine(res.fine, maps)
 
     def render(params, key, c2w):
-        return _maps_from_fine(_render(params, key, jnp.asarray(c2w)).fine,
-                               h, w)
+        return _to_host_maps(_render(params, key, jnp.asarray(c2w)), h, w)
 
     return render
 
@@ -150,9 +174,14 @@ def render_path(key, poses, hwf, field_fn, cfg: RenderConfig, *, near, far,
 
     rgbs, disps = [], []
     keys = jax.random.split(key, len(poses))
+    needed = ("rgb", "disp")
+    if save_dir is not None:
+        needed += ("depth", "weights", "z_vals")   # the artifact-tree dumps
+    if save_alpha:
+        needed += ("alpha",)
     renderer = frame_fn if frame_fn is not None else make_frame_renderer(
         (h, w, focal), field_fn, cfg, near=near, far=far, ndc=ndc,
-        chunk=chunk, fine_field_fn=fine_field_fn)
+        chunk=chunk, fine_field_fn=fine_field_fn, maps=needed)
     for i, (k, c2w) in enumerate(zip(keys, poses)):
         maps = renderer(k, jnp.asarray(c2w))
         rgbs.append(maps["rgb"])

@@ -209,25 +209,30 @@ def _paired_gather(offs, ws, pg0, pg1, out_ref):
     raw = jnp.concatenate([pg0, pg1, pg0, pg1], axis=0)       # [128, 128]
     w2t = jnp.where((iota_rk < 64) == (iota_lk < 64), raw,
                     jnp.bfloat16(0.0))                        # block-diagonal
-    iota_r = jax.lax.broadcasted_iota(jnp.int32, (128, _B), 0)
-    lo = iota_r < 64
-    pair_i = (iota_r & 63) >> 1
-    s = jnp.zeros((128, _B), jnp.float32)
-    for q in range(4):
+    # all row-target / pair-target / weight selection is done on explicit
+    # 64-row HALVES (corner c0 rides rows/lanes 0-63, c1 64-127): the
+    # half-conditional `where(lo, ...)` selects this replaces were three
+    # full [128, B] VPU ops per quadrant on the kernel's critical path
+    iota_h = jax.lax.broadcasted_iota(jnp.int32, (64, _B), 0)
+    pair_h = iota_h >> 1
+    s = jnp.zeros((64, _B), jnp.float32)                      # s[r] folds
+    for q in range(4):                                        # rows r, r+64
         o0, o1 = offs[2 * q], offs[2 * q + 1]
-        rtgt = jnp.where(lo, o0 >> 5, 64 + (o1 >> 5))         # [128, B]
-        oht2 = (iota_r == rtgt).astype(jnp.bfloat16)
+        oht2 = jnp.concatenate(
+            [iota_h == (o0 >> 5), iota_h == (o1 >> 5)],
+            axis=0).astype(jnp.bfloat16)                      # [128, B]
         g = jax.lax.dot_general(
             w2t, oht2, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)               # [128, B]
-        ptgt = jnp.where(lo, o0 & 31, o1 & 31)
-        wsel = jnp.where(lo, ws[2 * q], ws[2 * q + 1])
-        s = s + jnp.where(pair_i == ptgt, g * wsel, 0.0)
+        s = (s + jnp.where(pair_h == (o0 & 31), g[0:64] * ws[2 * q], 0.0)
+             + jnp.where(pair_h == (o1 & 31), g[64:128] * ws[2 * q + 1],
+                         0.0))
     # parity split, once per block: out[0] = even-lane sum (f0), out[1] =
     # odd-lane sum (f1) — feature parity is preserved across both 64-lane
-    # halves. Two masked full reductions — NOT a [2,128] matmul, which
-    # Mosaic pads to M=128, costing as much as three extra corner gathers.
-    parity = jax.lax.broadcasted_iota(jnp.int32, (128, _B), 0) & 1
+    # halves (row r+64 folded onto row r keeps r & 1). Two masked full
+    # reductions — NOT a [2,128] matmul, which Mosaic pads to M=128,
+    # costing as much as three extra corner gathers.
+    parity = iota_h & 1
     f0 = jnp.sum(jnp.where(parity == 0, s, 0.0), axis=0, keepdims=True)
     f1 = jnp.sum(jnp.where(parity == 1, s, 0.0), axis=0, keepdims=True)
     out_ref[0] = jnp.concatenate([f0, f1], axis=0)            # [2, B]
@@ -554,12 +559,33 @@ def hash_encode_exact(table, idx, weights):
 
 
 def window_pages(xt_s, resolutions, t: int, page_bounds=None):
-    """[L, N/_B] window pages straight from sorted coords. The full
-    [L, 8, N] corner-index array exists only inside XLA's fused
-    min-reduction here (w's compute chain is dead code) — nothing
-    block-sized is materialized to HBM."""
-    idx, _ = corner_indices_weights_win(xt_s, resolutions, t, page_bounds)
-    return window_offsets(idx, t)[0]
+    """[L, N/_B] window pages straight from sorted coords.
+
+    Computed from per-block SEGMENT minima alone — bit-identical to
+    `window_offsets(corner_indices_weights_win(...), t)[0]` without
+    materializing the [L, 8, N] corner-index array (measured 2.2 -> ~0.2 ms
+    at the 786k-point training shape):
+
+    - fine levels: idx = base_p + h with h < PAGE_ENTRIES and bases
+      multiples of PAGE_ENTRIES, so base1 + h1 < base2 whenever
+      base1 < base2 — min(idx) // PAGE_ENTRIES == min segment, the same
+      for EVERY fine level;
+    - dense-morton levels (res <= RES_DENSE): every corner code is
+      <= morton27(7,7,7) = 511 < PAGE_ENTRIES, so the page is 0.
+
+    The diagnostic `SPINNERF_HG_RES_DENSE` override breaks the dense-regime
+    bound above (codes up to 2^18), so it falls back to the generic
+    min-reduction (that path is exact-gather-only anyway)."""
+    if _res_dense() > RES_DENSE:
+        idx, _ = corner_indices_weights_win(xt_s, resolutions, t, page_bounds)
+        return window_offsets(idx, t)[0]
+    n = xt_s.shape[1]
+    base, _ = page_lookup(zkey27(xt_s), t, page_bounds)
+    seg = (base // jnp.uint32(PAGE_ENTRIES)).astype(jnp.int32)
+    s_min = jnp.min(seg.reshape(n // _B, _B), axis=1)           # [NB]
+    s_min = jnp.minimum(s_min, max(t // PAGE_ENTRIES - 2, 0))
+    dense = jnp.asarray([r <= _res_dense() for r in resolutions])
+    return jnp.where(dense[:, None], 0, s_min[None, :]).astype(jnp.int32)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 4, 5))

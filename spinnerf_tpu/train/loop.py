@@ -343,26 +343,37 @@ class Trainer:
             return self.fine_model.apply(params["fine"], pts, vd)
         return coarse, fine
 
-    def _frame_renderer(self, render_factor: int):
+    def _frame_renderer(self, render_factor: int, maps=None):
         """Persistent jitted frame renderer (params are jit args): repeated
-        video/testset hooks render with fresh weights, zero recompiles."""
+        video/testset hooks render with fresh weights, zero recompiles.
+
+        maps: per-pixel outputs to fetch (see `eval_render.LIGHT_MAPS`) —
+        the per-sample weights/z/alpha maps cost ~100x a light map in HBM
+        and host-link traffic, so hooks request only what they read."""
+        maps = None if maps is None else tuple(maps)
         cache = getattr(self, "_frame_renderers", None)
         if cache is None:
             cache = self._frame_renderers = {}
-        if render_factor not in cache:
-            cache[render_factor] = eval_render.make_param_frame_renderer(
-                self.scene.hwf, self.model.apply,
-                render_config(self.cfg, train=False), near=self.bank.near,
-                far=self.bank.far, ndc=self.bank.ndc, chunk=self.cfg.chunk,
-                render_factor=render_factor, mesh=self.mesh,
-                fine_apply_fn=(None if self.fine_model is self.model
-                               else self.fine_model.apply))
-        return cache[render_factor]
+        if (render_factor, maps) not in cache:
+            cache[(render_factor, maps)] = \
+                eval_render.make_param_frame_renderer(
+                    self.scene.hwf, self.model.apply,
+                    render_config(self.cfg, train=False), near=self.bank.near,
+                    far=self.bank.far, ndc=self.bank.ndc, chunk=self.cfg.chunk,
+                    render_factor=render_factor, mesh=self.mesh, maps=maps,
+                    fine_apply_fn=(None if self.fine_model is self.model
+                                   else self.fine_model.apply))
+        return cache[(render_factor, maps)]
 
     def render_poses_list(self, poses, *, render_factor=None, save_dir=None,
                           gt_images=None, save_alpha=False):
         rf = self.cfg.render_factor if render_factor is None else render_factor
-        renderer = self._frame_renderer(rf)
+        needed = ("rgb", "disp")
+        if save_dir is not None:
+            needed += ("depth", "weights", "z_vals")
+        if save_alpha:
+            needed += ("alpha",)
+        renderer = self._frame_renderer(rf, maps=needed)
         params = self.state.params
         return eval_render.render_path(
             jax.random.PRNGKey(0), poses, self.scene.hwf, None,

@@ -45,6 +45,13 @@ def main(argv=None):
     ap.add_argument("--out", default="FULLRUN.json")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny model + no LaMa refine (driver plumbing test)")
+    ap.add_argument("--skip-mvseg", action="store_true",
+                    help="reuse label/ masks already exported by a previous "
+                    "(possibly interrupted) run on the same scene dir")
+    ap.add_argument("--mvseg-seconds", type=float, default=None,
+                    help="with --skip-mvseg: record this measured mvseg "
+                    "wall-clock (from the interrupted run's log) in "
+                    "stage_seconds instead of omitting the stage")
     args = ap.parse_args(argv)
 
     from spinnerf_tpu.config import Config
@@ -120,12 +127,27 @@ def main(argv=None):
                          N_samples=8, N_importance=4, N_rand=64, chunk=2048,
                          lpips_render_factor=2, patch_len_factor=2,
                          lpips_batch_size=1, compute_dtype="float32")
+    if args.skip_mvseg:
+        label_dir = (scene_dir / (f"images_{args.factor}"
+                                  if args.factor != 1 else "images")
+                     / "label")
+        n_labels = len(list(label_dir.glob("*.png"))) if label_dir.exists() \
+            else 0
+        if n_labels < args.views:
+            raise SystemExit(f"--skip-mvseg: only {n_labels}/{args.views} "
+                             f"masks under {label_dir}")
     trainer, results = stages.run_pipeline(
         cfg,
         mvseg_iters=max(2, int(4000 / s)),
         prepare_iters=max(2, int(4001 / s)),
         fit_iters=max(2, int(10001 / s)),
-        refine=not args.smoke)
+        refine=not args.smoke,
+        skip_mvseg=args.skip_mvseg)
+    if args.skip_mvseg and args.mvseg_seconds is not None:
+        results["stage_seconds"]["mvseg"] = args.mvseg_seconds
+        results["stage_seconds"]["mvseg_note"] = (
+            "measured by a previous interrupted run on this scene "
+            "(masks reused)")
 
     results["config"] = {
         "model": args.model, "views": args.views, "n_gt": args.gt,

@@ -88,11 +88,13 @@ def run_reference(ws: Path, iters: int) -> float:
     return run_logged(cmd, run_dir, ws / "ref.log", env=env)
 
 
-def run_ours(ws: Path, iters: int) -> float:
+def run_ours(ws: Path, iters: int, on_tpu: bool = False) -> float:
     run_dir = ws / "ours_run"
     run_dir.mkdir(parents=True, exist_ok=True)
-    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="",
+    env = dict(os.environ,
                PYTHONPATH=str(REPO) + ":" + os.environ.get("PYTHONPATH", ""))
+    if not on_tpu:
+        env.update(JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
     cmd = [sys.executable, "-m", "spinnerf_tpu.cli", "train",
            "--expname", "fitparity", "--basedir", str(run_dir / "logs"),
            "--datadir", str(ws / "scene"),
@@ -162,6 +164,12 @@ def main():
     ap.add_argument("--iters", type=int, default=1000)
     ap.add_argument("--skip-ref", action="store_true")
     ap.add_argument("--skip-ours", action="store_true")
+    ap.add_argument("--ours-tpu", action="store_true",
+                    help="run the ours side on the TPU in its production "
+                    "bf16 configuration (the §2 3000-iter protocol) instead "
+                    "of CPU f32 — the claim is end-state equivalence, and "
+                    "this also folds the bf16-vs-f32 gap into the measured "
+                    "diff (below seed noise in the §2 run)")
     ap.add_argument("--compare-only", action="store_true")
     ap.add_argument("--report", default=None)
     args = ap.parse_args()
@@ -178,7 +186,8 @@ def main():
         if not args.skip_ref:
             times["ref_wall_s"] = run_reference(ws, args.iters)
         if not args.skip_ours:
-            times["ours_wall_s"] = run_ours(ws, args.iters)
+            times["ours_wall_s"] = run_ours(ws, args.iters,
+                                            on_tpu=args.ours_tpu)
 
     report = compare(ws, args.iters)
     report.update(times)
