@@ -38,6 +38,22 @@ def _default_maps(cfg: RenderConfig):
     return LIGHT_MAPS + (("prob",) if cfg.semantic else ())
 
 
+def maps_for_save(save_dir, save_alpha: bool = False):
+    """The per-pixel maps a pose-list render must fetch to feed the
+    reference's per-frame artifact tree (`run_nerf.py:231-295`): rgb/disp
+    always; depth/weights/z_vals only when dumping; alpha on request.
+
+    Single source of truth for `render_path` and `Trainer.render_poses_list`
+    — the two must agree or dump time KeyErrors.
+    """
+    needed = ("rgb", "disp")
+    if save_dir is not None:
+        needed += ("depth", "weights", "z_vals")
+    if save_alpha:
+        needed += ("alpha",)
+    return needed
+
+
 def _select_fine(fine, maps):
     """Pick the requested RenderOutputs fields (runs inside jit)."""
     out = {}
@@ -174,11 +190,7 @@ def render_path(key, poses, hwf, field_fn, cfg: RenderConfig, *, near, far,
 
     rgbs, disps = [], []
     keys = jax.random.split(key, len(poses))
-    needed = ("rgb", "disp")
-    if save_dir is not None:
-        needed += ("depth", "weights", "z_vals")   # the artifact-tree dumps
-    if save_alpha:
-        needed += ("alpha",)
+    needed = maps_for_save(save_dir, save_alpha)
     renderer = frame_fn if frame_fn is not None else make_frame_renderer(
         (h, w, focal), field_fn, cfg, near=near, far=far, ndc=ndc,
         chunk=chunk, fine_field_fn=fine_field_fn, maps=needed)

@@ -210,9 +210,9 @@ def _paired_gather(offs, ws, pg0, pg1, out_ref):
     w2t = jnp.where((iota_rk < 64) == (iota_lk < 64), raw,
                     jnp.bfloat16(0.0))                        # block-diagonal
     # all row-target / pair-target / weight selection is done on explicit
-    # 64-row HALVES (corner c0 rides rows/lanes 0-63, c1 64-127): the
-    # half-conditional `where(lo, ...)` selects this replaces were three
-    # full [128, B] VPU ops per quadrant on the kernel's critical path
+    # 64-row HALVES (corner c0 rides rows/lanes 0-63, c1 64-127) — this
+    # replaces the old full-width `where(lo, ...)` selects, which cost
+    # three [128, B] VPU ops per quadrant on the kernel's critical path
     iota_h = jax.lax.broadcasted_iota(jnp.int32, (64, _B), 0)
     pair_h = iota_h >> 1
     s = jnp.zeros((64, _B), jnp.float32)                      # s[r] folds

@@ -368,12 +368,8 @@ class Trainer:
     def render_poses_list(self, poses, *, render_factor=None, save_dir=None,
                           gt_images=None, save_alpha=False):
         rf = self.cfg.render_factor if render_factor is None else render_factor
-        needed = ("rgb", "disp")
-        if save_dir is not None:
-            needed += ("depth", "weights", "z_vals")
-        if save_alpha:
-            needed += ("alpha",)
-        renderer = self._frame_renderer(rf, maps=needed)
+        renderer = self._frame_renderer(
+            rf, maps=eval_render.maps_for_save(save_dir, save_alpha))
         params = self.state.params
         return eval_render.render_path(
             jax.random.PRNGKey(0), poses, self.scene.hwf, None,

@@ -102,3 +102,67 @@ def test_sharded_frame_render_matches_single_device(rng):
     b = sharded(k, c2w)
     np.testing.assert_allclose(a["rgb"], b["rgb"], atol=1e-5)
     np.testing.assert_allclose(a["depth"], b["depth"], atol=1e-4)
+
+
+def test_frame_renderer_maps_contract(rng):
+    """The round-4 maps API (`eval/render.py`): a default renderer returns
+    only the light per-pixel maps (the heavy [H,W,S] stacks are DCE'd inside
+    the jit), requested heavy maps come back at full per-sample shape, and
+    asking for a map the field doesn't produce raises up front."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+    from spinnerf_tpu.core.rendering import RenderConfig
+    from spinnerf_tpu.data import synthetic
+    from spinnerf_tpu.eval import render as eval_render
+    from spinnerf_tpu.models.fields import NeRFField
+
+    model = NeRFField(depth=2, width=32, multires=4, multires_views=2,
+                      compute_dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 2, 3)),
+                        jnp.zeros((1, 3)))
+
+    def field(pts, vd):
+        return model.apply(params, pts, vd)
+
+    cfg = RenderConfig(n_samples=8, n_importance=8, perturb=False,
+                       raw_noise_std=0.0)
+    h, w, s = 12, 16, 16          # fine pass sees n_samples + n_importance
+    c2w = jnp.asarray(synthetic.look_at_pose(
+        np.array([3.0, 1.0, 1.5]))[:3, :4])
+    kwargs = dict(near=1.0, far=7.0, chunk=512)
+    k = jax.random.PRNGKey(1)
+
+    default = eval_render.make_frame_renderer((h, w, 20.0), field, cfg,
+                                              **kwargs)(k, c2w)
+    assert set(default) == set(eval_render.LIGHT_MAPS)
+    assert default["rgb"].shape == (h, w, 3)
+    assert default["disp"].shape == (h, w)
+
+    heavy = eval_render.make_frame_renderer(
+        (h, w, 20.0), field, cfg,
+        maps=("rgb",) + eval_render.HEAVY_MAPS, **kwargs)(k, c2w)
+    assert heavy["weights"].shape == (h, w, s)
+    assert heavy["z_vals"].shape == (h, w, s)
+    assert heavy["alpha"].shape == (h, w, s)
+    # weights are the compositing measure: nonnegative, sum <= 1 per pixel
+    assert float(heavy["weights"].min()) >= 0.0
+    assert float(heavy["weights"].sum(-1).max()) <= 1.0 + 1e-4
+
+    # prob is a semantic-head output; without cfg.semantic the renderer must
+    # refuse at build/trace time, not KeyError downstream
+    with pytest.raises(ValueError, match="prob"):
+        eval_render.make_frame_renderer((h, w, 20.0), field, cfg,
+                                        maps=("rgb", "prob"), **kwargs)(k, c2w)
+
+
+def test_maps_for_save_contract():
+    """`maps_for_save` is the single source of truth shared by render_path
+    and Trainer.render_poses_list for the artifact-tree dump set
+    (`run_nerf.py:231-295`)."""
+    from spinnerf_tpu.eval.render import maps_for_save
+    assert maps_for_save(None) == ("rgb", "disp")
+    assert maps_for_save("/tmp/x") == ("rgb", "disp", "depth", "weights",
+                                       "z_vals")
+    assert maps_for_save("/tmp/x", save_alpha=True)[-1] == "alpha"
+    assert maps_for_save(None, save_alpha=True) == ("rgb", "disp", "alpha")

@@ -144,8 +144,10 @@ def main(argv=None):
         refine=not args.smoke,
         skip_mvseg=args.skip_mvseg)
     if args.skip_mvseg and args.mvseg_seconds is not None:
+        # keep stage_seconds float-only (consumers sum/plot it); the
+        # provenance note rides at the top level
         results["stage_seconds"]["mvseg"] = args.mvseg_seconds
-        results["stage_seconds"]["mvseg_note"] = (
+        results["mvseg_timing_note"] = (
             "measured by a previous interrupted run on this scene "
             "(masks reused)")
 
