@@ -106,6 +106,35 @@ def calibrate_page_bounds(x01, log2_table_size: int):
     return tuple(int(b) for b in bounds)
 
 
+def calibrate_dense_box(x01, resolutions, log2_table_size: int):
+    """Per-level occupied-box calibration for the shifted-morton dense
+    regime (`hash_encode_win.normalize_dense_box`).
+
+    x01: [K, 3] normalized sample positions in [0,1] (the same
+    deterministic stratified ray grid `calibrate_page_bounds` uses).
+    For each level: the tight cell bounding box of the samples, padded by
+    one cell each side (boundary-jitter margin). Levels whose padded box
+    passes `box_dense_ok` — corner codes fit min(T, DENSE_BOX_CAP) —
+    become INJECTIVE and GLOBAL (one table entry per occupied cell,
+    instant-ngp dense-level semantics); the rest return None and keep the
+    Z-CDF page hash. At the reference's bound=100 (captures occupy <1% of
+    [-bound, bound]^3) this covers the coarse AND mid levels whose
+    segment-partitioning cost ~3.3 dB held-out in round 4 (PARITY_RUN §4).
+    Returns a tuple of per-level None or (ox, oy, oz, ex, ey, ez)."""
+    from spinnerf_tpu.ops import hash_encode_win as hw
+    t = 1 << log2_table_size
+    x = np.asarray(x01, np.float64)
+    out = []
+    for r in resolutions:
+        cells = np.clip(np.floor(x * r), 0, r - 1).astype(np.int64)
+        o = np.maximum(cells.min(axis=0) - 1, 0)
+        top = np.minimum(cells.max(axis=0) + 1, r - 1)
+        e = top - o
+        box = tuple(int(v) for v in o) + tuple(int(v) for v in e)
+        out.append(box if hw.box_dense_ok(e, t) else None)
+    return tuple(out)
+
+
 def level_resolutions(n_levels: int, base_res: int, finest_res: float):
     """Per-level grid resolutions N_l = floor(base * b^l) with
     b = exp2(log2(finest/base) / (L-1))."""
@@ -151,6 +180,10 @@ class HashGridEncoding(nn.Module):
     # Static (affects index semantics -> must be identical at train and
     # render; pinned to the experiment dir by the Trainer).
     page_bounds: tuple | None = None
+    # per-level shifted-morton boxes (`hash_encode_win.normalize_dense_box`,
+    # from `calibrate_dense_box`); None = the legacy whole-grid default
+    # (res <= 7). Static index semantics, pinned like page_bounds.
+    dense_box: tuple | None = None
 
     def corner_indices_weights(self, x):
         """x: [N, 3] in [0, 1] -> (idx [L, 8, N] int32, w [L, 8, N] f32).
@@ -237,25 +270,28 @@ class HashGridEncoding(nn.Module):
                     x, float(max(resolutions)), n_pad, extra=sorted_extra)
                 if impl == "win" and n_pad >= hw.n_windowed_min(t):
                     # fused-geometry kernel: corner indices/weights are
-                    # rebuilt in-kernel; only the [L, NB] window pages are
-                    # computed host-side (via a fused min-reduction)
+                    # rebuilt in-kernel; only the [L, 2, NB] window page
+                    # pairs are computed host-side (fused reductions)
                     pages = hw.window_pages(xt_s, resolutions, t,
-                                            self.page_bounds)
+                                            self.page_bounds, self.dense_box)
                     out = hw.hash_encode_win_fused(
                         table, xt_s, tuple(resolutions), pages,
-                        page_bounds=self.page_bounds)
+                        page_bounds=self.page_bounds,
+                        dense_box=self.dense_box)
                 else:
                     # small batches (and the CPU path): exact gather with
                     # the same index function — no window aliasing, and
                     # XLA's serialized gather is cheap at this size
                     idx, w = hw.corner_indices_weights_win(
-                        xt_s, resolutions, t, self.page_bounds)
+                        xt_s, resolutions, t, self.page_bounds,
+                        self.dense_box)
                     out = hw.hash_encode_exact(table, idx, w)
                 return (out.astype(self.compute_dtype), perm, inv_perm,
                         tuple(extra_s))
             out = hw.encode_win(table, x, resolutions,
                                 use_kernel=(impl == "win"),
-                                page_bounds=self.page_bounds)  # [N, L*F]
+                                page_bounds=self.page_bounds,
+                                dense_box=self.dense_box)      # [N, L*F]
             return out.astype(self.compute_dtype).reshape(
                 *shape, self.n_levels * self.features)
 
@@ -298,6 +334,7 @@ class HashGridField(nn.Module):
     compute_dtype: jnp.dtype = jnp.bfloat16
     impl: str = "auto"
     page_bounds: tuple | None = None
+    dense_box: tuple | None = None
 
     def _heads(self, enc, d, dtype):
         """Sigma + color MLP heads over encoded features (pointwise: runs
@@ -345,7 +382,8 @@ class HashGridField(nn.Module):
             log2_table_size=self.log2_table_size, base_res=self.base_res,
             finest_res=self.finest_res_per_unit * self.bound,
             compute_dtype=dtype, impl=self.impl,
-            page_bounds=self.page_bounds, name="encoder")
+            page_bounds=self.page_bounds, dense_box=self.dense_box,
+            name="encoder")
 
         vd = jnp.broadcast_to(viewdirs[..., None, :], pts.shape[:-1] + (3,))
 

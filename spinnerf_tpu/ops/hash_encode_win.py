@@ -8,8 +8,19 @@ This module restores O(1)-per-access cost the TPU way:
 1. **Sort points along a Z-order curve** (54-bit Morton key as two int32
    lanes, `lax.sort` with num_keys=2 — measured 2.3 ms for 786k points on
    v5e). Consecutive points become spatial neighbours.
-2. **Z-CDF page hash** (`corner_indices_weights_win`): coarse levels
-   (collision-free in 27 Morton bits) index by cell Morton; fine levels by
+2. **Two-regime index** (`corner_indices_weights_win`):
+   DENSE levels — scene-calibrated SHIFTED MORTON (round 5): a per-level
+   occupied box (origin o, extents e; `hashgrid.calibrate_dense_box`)
+   qualifies a level for `idx = morton27(clip(cell - o, 0, e) + corner)`
+   whenever the box's corner codes fit `box_dense_ok` — INJECTIVE and
+   GLOBAL, the instant-ngp dense-level semantics (one entry per cell, full
+   gradient mass, no spatial seams). At the reference's bound=100 a
+   capture occupies <1% of the cube, so the shift makes coarse AND mid
+   levels' codes compact (levels 16..199 qualify on the §4 scene, beyond
+   tcnn's own (r+1)^3 <= T dense set) with 0.0000% measured window
+   aliasing. This closed the measured ~3.3 dB held-out gap the round-4
+   all-paged design paid on coarse levels (PARITY_RUN §4).
+   FINE levels — the **Z-CDF page hash**:
    `segment(point) * PAGE_ENTRIES + xor_prime_hash(cell) & (PAGE_ENTRIES-1)`,
    where the segment is the point's Z-order key bucketed against
    equal-sample-count boundaries calibrated from the scene
@@ -29,11 +40,13 @@ This module restores O(1)-per-access cost the TPU way:
    but the pattern must be batch-independent and the capacity
    density-proportional.)
 3. **Windowed one-hot matmuls**: each 512-point block multiplies against a
-   2-page window (2x1024 entries) of the level table that Pallas DMAs in
-   via a scalar-prefetched page id — 256x less MXU work than the dense
-   kernel at 2^19, and the forward gathers two corners per matmul
-   (`_paired_gather`). The rare out-of-window corner (segment-boundary
-   blocks) is aliased to `offset mod 2048` inside the window — one extra
+   2-page window (2x1024 entries) of the level table — the two pages
+   INDEPENDENTLY addressed per (level, block) via scalar-prefetched page
+   ids (fine levels: consecutive segments; dense levels: the block's
+   min/max corner-code pages) — 256x less MXU work than the dense kernel
+   at 2^19, and the forward gathers two corners per matmul
+   (`_paired_gather`). The rare out-of-window corner is aliased to
+   `offset mod 2048` inside the window (`_two_page_off`) — one extra
    deterministic collision, identical in forward and backward.
 4. **Backward**: per-block window gradients are accumulated straight into
    an HBM gradient table with in-kernel async DMA (sequential TPU grid =>
@@ -49,7 +62,6 @@ semantics bit-exactly and is the kernel test reference.
 from __future__ import annotations
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp
@@ -148,38 +160,82 @@ permute_rows.defvjp(_permute_fwd, _permute_bwd)
 # shared window geometry (kernel prep AND oracle — must match bit-exactly)
 # -----------------------------------------------------------------------------
 
-def window_offsets(idx, t: int):
+# log2(PAGE_ENTRIES): page id of an entry index is `idx >> _PAGE_SHIFT`
+_PAGE_SHIFT = 10
+
+
+def _two_page_off(idx, pa, pb):
+    """In-window offsets for an INDEPENDENTLY-ADDRESSED two-page window.
+
+    Page `pa` occupies window half [0, PAGE_ENTRIES); page `pb` occupies
+    [PAGE_ENTRIES, WINDOW_ENTRIES). Indices in neither page wrap into the
+    window via the pa-anchored floor-mod — one deterministic aliased
+    collision, identical forward/backward (and bit-identical to the legacy
+    consecutive-page rule whenever pb == pa + 1). pa == pb is legal: both
+    halves then hold the same page, and offsets resolve to the first half.
+    All int32; shapes broadcast."""
+    pg = idx >> _PAGE_SHIFT
+    use_b = (pg == pb) & (pg != pa)
+    anchor = jnp.where(use_b, pb - 1, pa)
+    # two's-complement AND with (2^k - 1) == floor-mod for any int32, so
+    # negative (below-window) offsets wrap exactly like the old `%`
+    return (idx - anchor * PAGE_ENTRIES) & (WINDOW_ENTRIES - 1)
+
+
+def two_page_effective(off, pa, pb):
+    """Absolute table entries addressed by in-window offsets: the oracle's
+    inverse of `_two_page_off` (first half -> page pa, second -> pb)."""
+    return jnp.where(off < PAGE_ENTRIES, pa * PAGE_ENTRIES + off,
+                     pb * PAGE_ENTRIES + off - PAGE_ENTRIES)
+
+
+def _consecutive_pages(blocks, t: int):
+    """Legacy two-page choice from materialized corner indices: pa = each
+    block's min-index page (clamped so pa+1 exists), pb = pa + 1 — the
+    round-4 single-page-id window, bit-identical coverage. Right for the
+    Z-CDF fine regime, where a block's indices span consecutive segments
+    and an overspilling block's MIDDLE segment holds most of its corners.
+    Dense (shifted-morton) levels instead want the block's (min, max)
+    pages — corner codes cluster at octant-jump ENDS — which
+    `window_pages` computes per level; this index-only default cannot
+    tell regimes apart and serves the standalone/test path."""
+    pa = jnp.min(blocks, axis=(1, 3)) >> _PAGE_SHIFT          # [L, NB]
+    pa = jnp.minimum(pa, max(t // PAGE_ENTRIES - 2, 0))
+    return jnp.stack([pa, pa + 1], axis=1).astype(jnp.int32)  # [L, 2, NB]
+
+
+def window_offsets(idx, t: int, pages=None):
     """idx: [L, 8, N] int32 entry indices (points sorted along the Z-curve,
     N a multiple of _B). Returns:
 
-      pages [L, NB] int32 — first page of each block's 2-page window,
-        clamped so the window stays inside the table;
-      off [L, 8, N] int32 — in-window entry offsets in [0, WINDOW_ENTRIES),
-        out-of-window corners aliased by `mod WINDOW_ENTRIES`.
+      pages [L, 2, NB] int32 — the two independently-addressed pages of
+        each block's window (`_consecutive_pages` when not given);
+      off [L, 8, N] int32 — in-window entry offsets in [0, WINDOW_ENTRIES)
+        per `_two_page_off`, out-of-window corners aliased by the
+        pa-anchored `mod WINDOW_ENTRIES`.
     """
     l, _, n = idx.shape
     nb = n // _B
-    n_pages = t // PAGE_ENTRIES
     blocks = idx.reshape(l, 8, nb, _B)
-    pages = jnp.min(blocks, axis=(1, 3)) // PAGE_ENTRIES      # [L, NB]
-    pages = jnp.minimum(pages, max(n_pages - 2, 0))
-    off = blocks - (pages * PAGE_ENTRIES)[:, None, :, None]
-    # one wrap handles both directions: offsets beyond the window (Z-curve
-    # discontinuities) and negative ones (small indices under the
-    # n_pages-2 clamp) alias into [0, WINDOW_ENTRIES)
-    off = off % WINDOW_ENTRIES
-    return pages.astype(jnp.int32), off.reshape(l, 8, n).astype(jnp.int32)
+    if pages is None:
+        pages = _consecutive_pages(blocks, t)
+    pa = pages[:, 0, None, :, None]
+    pb = pages[:, 1, None, :, None]
+    off = _two_page_off(blocks, pa, pb)
+    return pages, off.reshape(l, 8, n).astype(jnp.int32)
 
 
-def overflow_fraction(idx, t: int):
+def overflow_fraction(idx, t: int, pages=None):
     """Fraction of corner accesses aliased by the window clamp (diagnostic)."""
     l, _, n = idx.shape
     nb = n // _B
     blocks = idx.reshape(l, 8, nb, _B)
-    pages = jnp.min(blocks, axis=(1, 3)) // PAGE_ENTRIES
-    pages = jnp.minimum(pages, max(t // PAGE_ENTRIES - 2, 0))
-    off = blocks - (pages * PAGE_ENTRIES)[:, None, :, None]
-    return jnp.mean(((off < 0) | (off >= WINDOW_ENTRIES)).astype(jnp.float32))
+    if pages is None:
+        pages = _consecutive_pages(blocks, t)
+    pg = blocks >> _PAGE_SHIFT
+    inw = ((pg == pages[:, 0, None, :, None])
+           | (pg == pages[:, 1, None, :, None]))
+    return 1.0 - jnp.mean(inw.astype(jnp.float32))
 
 
 # -----------------------------------------------------------------------------
@@ -252,11 +308,13 @@ def _win_fwd_kernel(pages_ref, off_ref, w_ref, pg0_ref, pg1_ref, out_ref):
     _paired_gather(offs, ws, pg0_ref[0, 0], pg1_ref[0, 0], out_ref)
 
 
-def _bwd_accumulate(offs, ws, g_ref, page, dtab_ref):
+def _bwd_accumulate(offs, ws, g_ref, pa, pb, dtab_ref):
     """Shared backward body: per-corner window-grad accumulate into the
     level's PACKED grad table ([R, 128] f32 — 4 MB at 2^19), VMEM-resident
     as a revisited output block across the point-block grid dimension; the
-    32-row window update lands via a dynamic-slice accumulate.
+    window's two 16-row page updates land via dynamic-slice accumulates
+    (first window half -> page pa, second -> pb — `_two_page_off`'s
+    mapping; pa == pb just accumulates both halves into the same rows).
 
     Stays per-corner (8 [*,B]x[B,128] contractions): the committed
     backward already streams ~6.9 columns/cycle — a corner-paired variant
@@ -281,7 +339,8 @@ def _bwd_accumulate(offs, ws, g_ref, page, dtab_ref):
             oht, vt, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)               # [32, 128]
 
-    dtab_ref[0, pl.ds(page * _PAGE_ROWS, _WIN_ROWS), :] += upd
+    dtab_ref[0, pl.ds(pa * _PAGE_ROWS, _PAGE_ROWS), :] += upd[:_PAGE_ROWS]
+    dtab_ref[0, pl.ds(pb * _PAGE_ROWS, _PAGE_ROWS), :] += upd[_PAGE_ROWS:]
 
 
 def _win_bwd_kernel(pages_ref, off_ref, w_ref, g_ref, dtab_ref):
@@ -293,7 +352,8 @@ def _win_bwd_kernel(pages_ref, off_ref, w_ref, g_ref, dtab_ref):
         dtab_ref[0] = jnp.zeros_like(dtab_ref[0])
 
     offs, ws = _corner_ref_offs(off_ref, w_ref)
-    _bwd_accumulate(offs, ws, g_ref, pages_ref[l, b], dtab_ref)
+    _bwd_accumulate(offs, ws, g_ref, pages_ref[l, 0, b], pages_ref[l, 1, b],
+                    dtab_ref)
 
 
 # -----------------------------------------------------------------------------
@@ -342,7 +402,8 @@ def hash_encode_win(table, idx, weights, pages, interpret=False):
       idx: [L, 8, N] int32 corner entry indices, points SORTED along the
         Z-curve (see `morton_sort_keys`); N a multiple of _B.
       weights: [L, 8, N] trilinear corner weights.
-      pages: [L, N/_B] int32 window pages from `window_offsets(idx, T)`.
+      pages: [L, 2, N/_B] int32 window page pairs from
+        `window_offsets(idx, T)`.
       interpret: run kernels in interpret mode (CPU tests).
 
     Returns [N, L*F] float32 features, level-major (column l*F + f) —
@@ -373,7 +434,7 @@ def _win_fwd_impl(table, idx, weights, pages, interpret):
         raise ValueError(f"point count must be a multiple of {_B}")
     r = t * f // 128
 
-    _, off = window_offsets(idx, t)
+    _, off = window_offsets(idx, t, pages)
     off, w = _prep(off, weights, n)
     tabd = _pack_dup(table)                        # [L, n_pages, 32, 128]
 
@@ -382,10 +443,10 @@ def _win_fwd_impl(table, idx, weights, pages, interpret):
         grid=(l, n // _B),
         in_specs=_point_specs() + [
             pl.BlockSpec((1, 1, _PAGE_ROWS_DUP, 128),
-                         lambda i, j, pages: (i, pages[i, j], 0, 0),
+                         lambda i, j, pages: (i, pages[i, 0, j], 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, _PAGE_ROWS_DUP, 128),
-                         lambda i, j, pages: (i, pages[i, j] + 1, 0, 0),
+                         lambda i, j, pages: (i, pages[i, 1, j], 0, 0),
                          memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((1, 2, _B), lambda i, j, pages: (i, 0, j),
                                memory_space=pltpu.VMEM),
@@ -448,23 +509,24 @@ hash_encode_win.defvjp(_win_fwd_rule, _win_bwd_rule)
 # ~1.5% of the block's existing VPU work, in exchange for dropping both
 # 800 MB streams and the XLA prep stage entirely.
 
-def _corner_geom(xt, bc, res_l, dense_l, base, t: int):
+def _corner_geom(xt, bc, res_ref, l, pa, pb, t: int):
     """In-kernel corner window-offsets + trilinear weights for one
     (level, block): bit-identical to `corner_indices_weights_win` followed
-    by `window_offsets`'s off computation on the same inputs (same f32 op
-    order, same uint32 lane math; `& (WINDOW_ENTRIES-1)` equals the host's
-    floor-mod on int32 for a power-of-two window).
+    by `_two_page_off` on the same inputs (same f32 op order, same uint32
+    lane math; `& (WINDOW_ENTRIES-1)` equals the host's floor-mod on int32
+    for a power-of-two window).
 
     xt: [3, B] f32 Z-sorted block coords; bc: [2, B] f32 per-point segment
     (entry base, capacity mask) from the host's `page_lookup` (values are
-    f32-exact ints < 2^24); res_l: scalar f32 level scale; dense_l: scalar
-    int32, 1 if this level is in the injective-morton regime (host:
-    `res <= RES_DENSE`); base: scalar int32 window start entry
-    (page * PAGE_ENTRIES).
+    f32-exact ints < 2^24); res_ref/l: the [L, 8] `_res_scalars` SMEM ref
+    — per-level (scale, dense flag, ox, oy, oz, ex, ey, ez) — and the
+    level to read; pa/pb: scalar int32 window page pair.
     Returns ([8] of [1, B] int32 in-window offsets, [8] of [1, B] f32 w).
     """
     p1 = jnp.uint32(_PRIMES[1])
     p2 = jnp.uint32(_PRIMES[2])
+    res_l = res_ref[l, 0].astype(jnp.float32)
+    use_dense = res_ref[l, 1] > 0
     xs = xt * res_l
     # clamp to the grid's last cell — bit-identical to the host path's
     # boundary clamp in `corner_indices_weights_win` (same f32 op order)
@@ -475,8 +537,16 @@ def _corner_geom(xt, bc, res_l, dense_l, base, t: int):
     x0 = x0f.astype(jnp.int32).astype(jnp.uint32)
     rbase = bc[0:1, :].astype(jnp.int32).astype(jnp.uint32)   # [1, B]
     capm = bc[1:2, :].astype(jnp.int32).astype(jnp.uint32)    # [1, B]
-    use_dense = dense_l > 0
-    sp_lo = [[_spread9(x0[a:a + 1, :] + jnp.uint32(d)) << a for a in range(3)]
+    # shifted-clipped box coords for the dense regime (host op order:
+    # f32 clip, then integer cast); fine levels spread raw coords whose
+    # morton result the where() discards
+    csel = [jnp.where(
+        use_dense,
+        jnp.clip(x0f[a:a + 1, :] - res_ref[l, 2 + a].astype(jnp.float32),
+                 0.0, res_ref[l, 5 + a].astype(jnp.float32))
+        .astype(jnp.int32).astype(jnp.uint32),
+        x0[a:a + 1, :]) for a in range(3)]
+    sp_lo = [[_spread9(csel[a] + jnp.uint32(d)) << a for a in range(3)]
              for d in (0, 1)]
     fr = [[1.0 - frac[a:a + 1, :], frac[a:a + 1, :]] for a in range(3)]
     offs, ws = [], []
@@ -488,7 +558,7 @@ def _corner_geom(xt, bc, res_l, dense_l, base, t: int):
         cz = x0[2:3, :] + jnp.uint32(k)
         hashed = rbase + ((cx ^ (cy * p1) ^ (cz * p2)) & capm)
         idx_c = jnp.where(use_dense, m, hashed).astype(jnp.int32)
-        offs.append((idx_c - base) & jnp.int32(WINDOW_ENTRIES - 1))
+        offs.append(_two_page_off(idx_c, pa, pb))
         ws.append(fr[0][i] * fr[1][j] * fr[2][k])
     return offs, ws
 
@@ -496,15 +566,12 @@ def _corner_geom(xt, bc, res_l, dense_l, base, t: int):
 def _win_fwd_fused_kernel(t: int, pages_ref, res_ref,
                           xt_ref, bc_ref, pg0_ref, pg1_ref, out_ref):
     """Fused-geometry forward: `_paired_gather` with off/w rebuilt
-    in-kernel from the coords block. res_ref is [L, 2]: (level scale,
-    dense-morton-regime flag); bc_ref the [2, B] per-point segment
-    base/capmask block."""
+    in-kernel from the coords block. res_ref is [L, 8] (`_res_scalars`);
+    bc_ref the [2, B] per-point segment base/capmask block."""
     l = pl.program_id(0)
     j = pl.program_id(1)
-    base = pages_ref[l, j] * PAGE_ENTRIES
-    offs, ws = _corner_geom(xt_ref[...], bc_ref[...],
-                            res_ref[l, 0].astype(jnp.float32),
-                            res_ref[l, 1], base, t)
+    offs, ws = _corner_geom(xt_ref[...], bc_ref[...], res_ref, l,
+                            pages_ref[l, 0, j], pages_ref[l, 1, j], t)
     _paired_gather(offs, ws, pg0_ref[0, 0], pg1_ref[0, 0], out_ref)
 
 
@@ -519,11 +586,9 @@ def _win_bwd_fused_kernel(t: int, pages_ref, res_ref,
     def _():
         dtab_ref[0] = jnp.zeros_like(dtab_ref[0])
 
-    page = pages_ref[l, b]
-    offs, ws = _corner_geom(xt_ref[...], bc_ref[...],
-                            res_ref[l, 0].astype(jnp.float32),
-                            res_ref[l, 1], page * PAGE_ENTRIES, t)
-    _bwd_accumulate(offs, ws, g_ref, page, dtab_ref)
+    pa, pb = pages_ref[l, 0, b], pages_ref[l, 1, b]
+    offs, ws = _corner_geom(xt_ref[...], bc_ref[...], res_ref, l, pa, pb, t)
+    _bwd_accumulate(offs, ws, g_ref, pa, pb, dtab_ref)
 
 
 # Absolute floor of the windowed regime (see `n_windowed_min`).
@@ -558,44 +623,58 @@ def hash_encode_exact(table, idx, weights):
     return out.transpose(1, 0, 2).reshape(n, l * f)
 
 
-def window_pages(xt_s, resolutions, t: int, page_bounds=None):
-    """[L, N/_B] window pages straight from sorted coords.
+def window_pages(xt_s, resolutions, t: int, page_bounds=None,
+                 dense_box=None):
+    """[L, 2, N/_B] window page pairs straight from sorted coords, chosen
+    per regime (no [L, 8, N] corner-index array is materialized):
 
-    Computed from per-block SEGMENT minima alone — bit-identical to
-    `window_offsets(corner_indices_weights_win(...), t)[0]` without
-    materializing the [L, 8, N] corner-index array (measured 2.2 -> ~0.2 ms
-    at the 786k-point training shape):
-
-    - fine levels: idx = base_p + h with h < PAGE_ENTRIES and bases
-      multiples of PAGE_ENTRIES, so base1 + h1 < base2 whenever
-      base1 < base2 — min(idx) // PAGE_ENTRIES == min segment, the same
-      for EVERY fine level;
-    - dense-morton levels (res <= RES_DENSE): every corner code is
-      <= morton27(7,7,7) = 511 < PAGE_ENTRIES, so the page is 0.
-
-    The diagnostic `SPINNERF_HG_RES_DENSE` override breaks the dense-regime
-    bound above (codes up to 2^18), so it falls back to the generic
-    min-reduction (that path is exact-gather-only anyway)."""
-    if _res_dense() > RES_DENSE:
-        idx, _ = corner_indices_weights_win(xt_s, resolutions, t, page_bounds)
-        return window_offsets(idx, t)[0]
+    - FINE levels — the legacy consecutive pair (min segment clamped,
+      +1): idx = base_p + h with h < PAGE_ENTRIES and bases multiples of
+      PAGE_ENTRIES, so the block's min index page IS its min segment —
+      one shared per-point segment reduction serves every fine level.
+      Bit-identical to the round-4 window.
+    - DENSE (shifted-morton) levels — the block's (min, max) corner-code
+      pages: codes cluster at octant-jump ends, and morton27 is monotone
+      in each cell coordinate, so corner 0 (all +0) carries each point's
+      min code and corner 7 (all +1) its max — two codes per point per
+      dense level instead of eight.
+    """
+    dense_box = normalize_dense_box(resolutions, t, dense_box)
     n = xt_s.shape[1]
+    nb = n // _B
+    n_pages = t // PAGE_ENTRIES
     base, _ = page_lookup(zkey27(xt_s), t, page_bounds)
-    seg = (base // jnp.uint32(PAGE_ENTRIES)).astype(jnp.int32)
-    s_min = jnp.min(seg.reshape(n // _B, _B), axis=1)           # [NB]
-    s_min = jnp.minimum(s_min, max(t // PAGE_ENTRIES - 2, 0))
-    dense = jnp.asarray([r <= _res_dense() for r in resolutions])
-    return jnp.where(dense[:, None], 0, s_min[None, :]).astype(jnp.int32)
+    seg = (base >> jnp.uint32(_PAGE_SHIFT)).astype(jnp.int32)
+    fine_pa = jnp.minimum(jnp.min(seg.reshape(nb, _B), axis=1),
+                          max(n_pages - 2, 0))                # [NB]
+    rows_pa, rows_pb = [], []
+    for r, box in zip(resolutions, dense_box):
+        if box is None:
+            rows_pa.append(fine_pa)
+            rows_pb.append(fine_pa + 1)
+            continue
+        o = jnp.asarray(box[:3], xt_s.dtype)[:, None]
+        e = jnp.asarray(box[3:], xt_s.dtype)[:, None]
+        xs = xt_s * float(r)
+        x0f = jnp.minimum(jnp.floor(xs), float(r) - 1.0)
+        c0 = jnp.clip(x0f - o, 0.0, e).astype(jnp.uint32)     # [3, N]
+        m0 = morton27(c0[0], c0[1], c0[2]).astype(jnp.int32)
+        c7 = c0 + jnp.uint32(1)
+        m7 = morton27(c7[0], c7[1], c7[2]).astype(jnp.int32)
+        rows_pa.append(jnp.min((m0 >> _PAGE_SHIFT).reshape(nb, _B), axis=1))
+        rows_pb.append(jnp.max((m7 >> _PAGE_SHIFT).reshape(nb, _B), axis=1))
+    return jnp.stack([jnp.stack(rows_pa), jnp.stack(rows_pb)],
+                     axis=1).astype(jnp.int32)                # [L, 2, NB]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 4, 5, 6))
 def hash_encode_win_fused(table, xt_s, resolutions, pages, interpret=False,
-                          page_bounds=None):
+                          page_bounds=None, dense_box=None):
     """Sorted-window hash-grid encode with in-kernel corner geometry.
 
     Same contract and results as `hash_encode_win(table, idx, w, pages)`
     where `idx, w = corner_indices_weights_win(xt_s, resolutions, t,
-    page_bounds)` — but off/w never exist outside the kernel.
+    page_bounds, dense_box)` — but off/w never exist outside the kernel.
     Differentiable wrt `table` only (sample positions are not trainable in
     this pipeline).
 
@@ -604,13 +683,15 @@ def hash_encode_win_fused(table, xt_s, resolutions, pages, interpret=False,
       xt_s: [3, N] f32 Z-SORTED coords in [0,1] (from `sort_perm`),
         N a multiple of _B.
       resolutions: static tuple of per-level int resolutions.
-      pages: [L, N/_B] int32 from `window_pages(xt_s, resolutions, T,
-        page_bounds)`.
+      pages: [L, 2, N/_B] int32 from `window_pages(xt_s, resolutions, T,
+        page_bounds, dense_box)`.
       page_bounds: static tuple of Z-CDF segment boundaries (see
         `normalize_bounds`); None = uniform Z-volume split.
+      dense_box: static per-level shifted-morton boxes (see
+        `normalize_dense_box`); None = the legacy whole-grid default.
     """
     out, _ = _win_fused_impl(table, xt_s, resolutions, pages, interpret,
-                             page_bounds)
+                             page_bounds, dense_box)
     return out
 
 
@@ -620,7 +701,8 @@ def _point_bc(xt_s, t, page_bounds):
     return jnp.stack([base, capm]).astype(jnp.float32)
 
 
-def _win_fused_impl(table, xt_s, resolutions, pages, interpret, page_bounds):
+def _win_fused_impl(table, xt_s, resolutions, pages, interpret, page_bounds,
+                    dense_box):
     l, t, f = table.shape
     if f != 2:
         raise ValueError("windowed hash encode supports features=2")
@@ -629,7 +711,8 @@ def _win_fused_impl(table, xt_s, resolutions, pages, interpret, page_bounds):
     n = xt_s.shape[1]
     if n % _B:
         raise ValueError(f"point count must be a multiple of {_B}")
-    res_arr = _res_scalars(resolutions, t)
+    dense_box = normalize_dense_box(resolutions, t, dense_box)
+    res_arr = _res_scalars(resolutions, t, dense_box)
     bc = _point_bc(xt_s, t, page_bounds)
     tabd = _pack_dup(table)
 
@@ -642,10 +725,10 @@ def _win_fused_impl(table, xt_s, resolutions, pages, interpret, page_bounds):
             pl.BlockSpec((2, _B), lambda i, j, pages, res: (0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, _PAGE_ROWS_DUP, 128),
-                         lambda i, j, pages, res: (i, pages[i, j], 0, 0),
+                         lambda i, j, pages, res: (i, pages[i, 0, j], 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, _PAGE_ROWS_DUP, 128),
-                         lambda i, j, pages, res: (i, pages[i, j] + 1, 0, 0),
+                         lambda i, j, pages, res: (i, pages[i, 1, j], 0, 0),
                          memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((1, 2, _B), lambda i, j, pages, res: (i, 0, j),
                                memory_space=pltpu.VMEM),
@@ -663,23 +746,29 @@ def _win_fused_impl(table, xt_s, resolutions, pages, interpret, page_bounds):
     return out.reshape(l * 2, n).T, ((l, t, f), xt_s, bc, pages)
 
 
-def _res_scalars(resolutions, t: int):
-    """[L, 2] int32 scalar-prefetch rows: (level scale, dense-regime flag)."""
-    return jnp.asarray([[int(r), int(r <= _res_dense())]
-                        for r in resolutions], jnp.int32)
+def _res_scalars(resolutions, t: int, dense_box):
+    """[L, 8] int32 scalar-prefetch rows: (level scale, dense-regime flag,
+    box origin ox/oy/oz, box extents ex/ey/ez) — `dense_box` NORMALIZED."""
+    rows = []
+    for r, box in zip(resolutions, dense_box):
+        b = box if box is not None else (0, 0, 0, 0, 0, 0)
+        rows.append([int(r), int(box is not None), *[int(v) for v in b]])
+    return jnp.asarray(rows, jnp.int32)
 
 
 def _win_fused_fwd_rule(table, xt_s, resolutions, pages, interpret,
-                        page_bounds):
+                        page_bounds, dense_box):
     return _win_fused_impl(table, xt_s, resolutions, pages, interpret,
-                           page_bounds)
+                           page_bounds, dense_box)
 
 
-def _win_fused_bwd_rule(resolutions, interpret, page_bounds, res, g):
+def _win_fused_bwd_rule(resolutions, interpret, page_bounds, dense_box,
+                        res, g):
     (l, t, f), xt_s, bc, pages = res
     r = t * f // 128
     n = xt_s.shape[1]
-    res_arr = _res_scalars(resolutions, t)
+    res_arr = _res_scalars(resolutions, t,
+                           normalize_dense_box(resolutions, t, dense_box))
     g_l = g.T.reshape(l, 2, n).astype(jnp.float32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -707,30 +796,86 @@ def _win_fused_bwd_rule(resolutions, interpret, page_bounds, res, g):
 hash_encode_win_fused.defvjp(_win_fused_fwd_rule, _win_fused_bwd_rule)
 
 
-# dense-morton regime only while every corner Morton code fits one kernel
-# window (corner coords <= res, and morton27(7,7,7) = 511 < 2048 while
-# coords of 8 already spread past bit 9): coarser-but-bigger grids have
-# occupancy GAPS along the Z-curve that blow per-block index spans
-# (measured 12-25% aliased corners at res 30/56 under the old 4096-entry
-# window) — the Z-CDF page hash keeps those levels window-tight instead.
-# At the reference default (base_res 16) no level is in this regime.
+# UNCALIBRATED whole-grid dense regime bound: res <= 7 is the largest grid
+# whose corner morton codes (coords <= 7 -> morton27(7,7,7) = 511) fit one
+# kernel window unconditionally. Bigger UNSHIFTED grids fail per-block
+# windowing at octant crossings (measured 12-25% aliased corners at res
+# 30/56 in round 3, and 28.9%/10.6% at res 16/30 on a CENTERED scene even
+# with (min, max) two-page windows — the cube-center plane is morton's
+# worst seam and recentered captures always straddle it). The CALIBRATED
+# dense boxes (origin-shifted morton, `normalize_dense_box`) are how
+# coarse/mid levels actually enter the dense regime: shifting by the
+# occupied box's origin moves the seam structure to the box scale, and
+# the §4 scene then measures 0.0000% aliasing for every qualifying level.
+# At the reference default (base_res 16) no level is in the UNCALIBRATED
+# regime; calibrated boxes cover levels 16..199 on the §4 scene.
 RES_DENSE = 7
 
+# Max entry count of a CALIBRATED dense box (4 pages). Measured on the §4
+# scene's ray distribution: boxes within this bound leave 0.0000% of
+# corners outside the (min, max) two-page window (levels res 16..199,
+# boxes up to ~13 cells/axis), while the next level (res 374, 21-cell box,
+# 32-page span) measures 9.2% — so the criterion is the measured cliff.
+DENSE_BOX_CAP = 4 * PAGE_ENTRIES
 
-def _res_dense() -> int:
-    """DIAGNOSTIC override of the dense-regime bound (exact path and
-    kernel scalars read it together — the index function must be ONE
-    function across both paths, since the model switches on batch size).
-    SPINNERF_HG_RES_DENSE=63 makes levels res <= 63 index by global
-    injective Morton (morton27(63,63,63) = 2^18-1 < t at the default
-    2^19) — shared across segments, so coarse features keep instant-ngp's
-    global smoothing role and full gradient mass (a segment-partitioned
-    res-16 level splits each cell into up to n_segments copies, each
-    trained by a fraction of its gradients). NOT kernel-safe: mid-level
-    Morton codes jump past the 2-page window at octant crossings
-    (measured 12-25% batch-dependent aliasing at res 30/56), the round-3
-    defect class — use only with the exact-gather path (small batches)."""
-    return int(os.environ.get("SPINNERF_HG_RES_DENSE", RES_DENSE))
+
+def box_morton_span(e) -> int:
+    """Upper bound (exclusive) of shifted-morton corner codes for a box
+    with per-axis cell extents e = (ex, ey, ez): corners reach e_a + 1, so
+    each axis needs ceil(log2(e_a + 2)) bits and standard 3x-interleave
+    spans 2^(3 * max-axis bits)."""
+    bits = max(int(np.ceil(np.log2(int(a) + 2))) for a in e)
+    return 1 << (3 * bits)
+
+
+def box_dense_ok(e, t: int, cap: int = DENSE_BOX_CAP) -> bool:
+    """A box qualifies for the injective shifted-morton regime when its
+    corner codes (a) fit the level's table row, (b) fit `cap` (bounding
+    per-block window spread), and (c) fit morton27's 9-bit coordinates."""
+    return (box_morton_span(e) <= min(t, cap)
+            and max(int(a) for a in e) + 1 <= 511)
+
+
+def default_dense_box(resolutions, t: int):
+    """Per-level UNCALIBRATED dense boxes: the whole grid ((0,0,0) origin,
+    extents res-1), kept only where the full grid's corner codes fit ONE
+    kernel window (res <= 7 — the legacy dense-morton regime, bit-identical
+    indices). Everything else is None (Z-CDF page hash)."""
+    out = []
+    for r in resolutions:
+        e = (r - 1, r - 1, r - 1)
+        out.append(((0, 0, 0) + e)
+                   if box_dense_ok(e, t, cap=WINDOW_ENTRIES) else None)
+    return tuple(out)
+
+
+def normalize_dense_box(resolutions, t: int, dense_box):
+    """Validated per-level dense boxes: a tuple with one entry per level,
+    each either None (Z-CDF page-hash regime) or 6 ints
+    (ox, oy, oz, ex, ey, ez) — origin cell and INCLUSIVE cell extents of
+    the level's occupied box (corners reach e+1). None for the whole
+    argument selects `default_dense_box`. Boxes are part of the table's
+    INDEX SEMANTICS (like page_bounds): train and render must agree."""
+    if dense_box is None:
+        return default_dense_box(resolutions, t)
+    if len(dense_box) != len(resolutions):
+        raise ValueError(f"dense_box must have {len(resolutions)} entries, "
+                         f"got {len(dense_box)}")
+    out = []
+    for r, box in zip(resolutions, dense_box):
+        if box is None:
+            out.append(None)
+            continue
+        o, e = [int(v) for v in box[:3]], [int(v) for v in box[3:]]
+        if len(box) != 6 or min(o) < 0 or min(e) < 0:
+            raise ValueError(f"dense_box entry must be 6 ints >= 0: {box}")
+        if any(oa + ea > r - 1 for oa, ea in zip(o, e)):
+            raise ValueError(f"dense_box {box} exceeds the res-{r} grid")
+        if not box_dense_ok(e, t):
+            raise ValueError(f"dense_box {box} does not qualify for the "
+                             f"dense regime at table size {t}")
+        out.append(tuple(o) + tuple(e))
+    return tuple(out)
 
 
 def zkey27(xt):
@@ -797,7 +942,8 @@ def page_lookup(z27, t: int, page_bounds=None):
     return base, capm
 
 
-def corner_indices_weights_win(xt, resolutions, t: int, page_bounds=None):
+def corner_indices_weights_win(xt, resolutions, t: int, page_bounds=None,
+                               dense_box=None):
     """Window-local corner indices for the sorted-window kernel.
 
     xt: [3, N] in [0,1], coords-major (points SORTED along the Z-curve —
@@ -806,11 +952,24 @@ def corner_indices_weights_win(xt, resolutions, t: int, page_bounds=None):
     to `HashGridEncoding.corner_indices_weights` but the index function
     replaced by a two-regime scheme:
 
-    COARSE levels (res <= RES_DENSE: corner Morton codes fit one
-    2048-entry kernel window):
-        idx = morton27(cell)            # injective AND Z-window-local
+    DENSE levels (a calibrated per-level box (o, e) covers the scene's
+    occupied cells and its corner codes fit `box_dense_ok`) — SHIFTED
+    MORTON:
+        idx = morton27(clip(cell - o, 0, e) + corner)   # INJECTIVE, GLOBAL
 
-    FINE levels (everything above) — the Z-CDF PAGE hash:
+    This is the instant-ngp dense-level semantics the Z-CDF partition was
+    measured to lose ~3.3 dB against (PARITY_RUN §4, round 4): every
+    reader of a cell resolves to the SAME entry regardless of its segment
+    (full gradient mass per cell, no spatial seams), and the origin shift
+    makes the occupied box's codes compact — at the reference's bound=100
+    (captures occupy <1% of the cube), levels far beyond the unshifted
+    r<=63 bound qualify, and the §4 scene measures 0.0000% window
+    aliasing for every qualifying level. Out-of-box queries clamp to the
+    box faces (graceful: those regions hold no training mass by
+    construction of the calibration). With `dense_box=None` the default
+    is the legacy whole-grid regime (res <= 7 only).
+
+    FINE levels (everything else) — the Z-CDF PAGE hash:
         seg  = #(page_bounds <= zkey27(point)) - 1
         idx  = seg * PAGE_ENTRIES + (xor_prime_hash(cell) & (PAGE_ENTRIES - 1))
 
@@ -850,6 +1009,7 @@ def corner_indices_weights_win(xt, resolutions, t: int, page_bounds=None):
     """
     if t & (t - 1):
         raise ValueError("table size must be a power of two")
+    dense_box = normalize_dense_box(resolutions, t, dense_box)
     p1 = jnp.uint32(_PRIMES[1])
     p2 = jnp.uint32(_PRIMES[2])
     scales = jnp.asarray(resolutions, xt.dtype)
@@ -867,11 +1027,20 @@ def corner_indices_weights_win(xt, resolutions, t: int, page_bounds=None):
     # or searchsorted, whose serialized TPU gathers would cost ~60 ms at
     # training point counts. [N], shared by all levels and corners.
     base, capm = page_lookup(zkey27(xt), t, page_bounds)   # [N] each, u32
-    # dense-morton regime per level (static python bools)
-    dense_l = jnp.asarray([r <= _res_dense() for r in resolutions])[:, None]
+    # shifted-morton regime per level (static flags + [L, 3] box arrays;
+    # fine-level rows are placeholders masked out by the where() below)
+    dense_l = jnp.asarray([b is not None for b in dense_box])[:, None]
+    o_arr = jnp.asarray([(b[:3] if b else (0, 0, 0)) for b in dense_box],
+                        x0f.dtype)[:, :, None]             # [L, 3, 1]
+    e_arr = jnp.asarray([(b[3:] if b else (0, 0, 0)) for b in dense_box],
+                        x0f.dtype)[:, :, None]
+    x0d = jnp.clip(x0f - o_arr, 0.0, e_arr).astype(jnp.uint32)
+    # morton coords: shifted-clipped for dense levels, raw for fine levels
+    # (whose morton result is discarded by the where) — one spread set
+    csel = jnp.where(dense_l[:, None], x0d, x0)            # [L, 3, N] u32
     # the 8 corners take only TWO distinct values per axis (c and c+1):
     # spread the bits 2x3 times instead of 8x3 for the morton regime
-    sp_lo = [[_spread9(x0[:, a, :] + np.uint32(d)) << a for a in range(3)]
+    sp_lo = [[_spread9(csel[:, a, :] + np.uint32(d)) << a for a in range(3)]
              for d in (0, 1)]                              # [2][3] of [L, N]
     idx_c, w_c = [], []
     for ci in range(8):
@@ -945,7 +1114,7 @@ unsort_columns.defvjp(_unsort_fwd, _unsort_bwd)
 
 
 def encode_win(table, x, resolutions, *, interpret=False, use_kernel=True,
-               page_bounds=None):
+               page_bounds=None, dense_box=None):
     """Full windowed hash-grid encode of UNSORTED points.
 
     x: [N, 3] in [0,1]; table [L, T, 2]. Returns [N, L*2] float32
@@ -964,11 +1133,12 @@ def encode_win(table, x, resolutions, *, interpret=False, use_kernel=True,
     n_pad = -(-n // _B) * _B
     xt_s, perm, inv_perm = sort_perm(x, float(max(resolutions)), n_pad)
     if use_kernel and n_pad >= n_windowed_min(t):
-        pages = window_pages(xt_s, resolutions, t, page_bounds)
+        pages = window_pages(xt_s, resolutions, t, page_bounds, dense_box)
         out = hash_encode_win_fused(table, xt_s, tuple(resolutions), pages,
-                                    interpret, page_bounds)
+                                    interpret, page_bounds, dense_box)
     else:
-        idx, w = corner_indices_weights_win(xt_s, resolutions, t, page_bounds)
+        idx, w = corner_indices_weights_win(xt_s, resolutions, t,
+                                            page_bounds, dense_box)
         out = hash_encode_exact(table, idx, w)
     return permute_rows(out, inv_perm, perm)[:n]          # [N, L*F]
 
@@ -979,9 +1149,10 @@ def hash_encode_win_xla(table, idx, weights, pages):
     level-major — same contract as `hash_encode_win`."""
     l, t, f = table.shape
     n = idx.shape[2]
-    _, off = window_offsets(idx, t)
-    eff = (pages * PAGE_ENTRIES)[:, None, :].repeat(8, 1)
-    eff = jnp.repeat(eff, _B, axis=2) + off                    # [L, 8, N]
+    _, off = window_offsets(idx, t, pages)
+    pa = jnp.repeat(pages[:, 0, :], _B, axis=1)[:, None, :]    # [L, 1, N]
+    pb = jnp.repeat(pages[:, 1, :], _B, axis=1)[:, None, :]
+    eff = two_page_effective(off, pa, pb)                      # [L, 8, N]
     flat = (eff.reshape(l, 8 * n)
             + (jnp.arange(l, dtype=jnp.int32) * t)[:, None]).reshape(-1)
     feats = table.reshape(l * t, f)[flat].reshape(l, 8, n, f)

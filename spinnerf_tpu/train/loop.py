@@ -73,14 +73,17 @@ def build_model(cfg: Config, semantic: bool = False, fine: bool = False):
                          compute_dtype=jnp.dtype(cfg.compute_dtype))
 
 
-def _scene_page_bounds(bank, model):
-    """Calibrate the windowed hash's Z-CDF segment boundaries from the ray
-    bank: a deterministic stratified pixel/depth grid over the training
-    poses approximates the training-point density (any bounds are a VALID
+def _scene_hash_calibration(bank, model):
+    """Calibrate the windowed hash's index semantics from the ray bank:
+    (Z-CDF segment boundaries, per-level shifted-morton dense boxes). A
+    deterministic stratified pixel/depth grid over the training poses
+    approximates the training-point density (any bounds/boxes are a VALID
     index function — miscalibration only raises window aliasing and
     collision load, never wrong results — so the NDC approximation of
     using world rays is fine)."""
-    from spinnerf_tpu.models.hashgrid import calibrate_page_bounds
+    from spinnerf_tpu.models.hashgrid import (calibrate_dense_box,
+                                              calibrate_page_bounds,
+                                              level_resolutions)
     h, w, focal = bank.hwf
     poses = np.asarray(bank.poses)
     ys = np.linspace(0.5, h - 0.5, 24)
@@ -97,7 +100,10 @@ def _scene_page_bounds(bank, model):
                    .reshape(-1, 3))
     x01 = np.clip((np.concatenate(pts) + model.bound) / (2.0 * model.bound),
                   0.0, 1.0)
-    return calibrate_page_bounds(x01, model.log2_table_size)
+    resolutions = level_resolutions(model.n_levels, model.base_res,
+                                    model.finest_res_per_unit * model.bound)
+    return (calibrate_page_bounds(x01, model.log2_table_size),
+            calibrate_dense_box(x01, resolutions, model.log2_table_size))
 
 
 def render_config(cfg: Config, *, train: bool) -> RenderConfig:
@@ -146,17 +152,20 @@ def train_config(cfg: Config) -> TrainConfig:
 class Trainer:
     """End-to-end DS-NeRF-style trainer on one scene."""
 
-    def _persist_page_bounds(self, bounds):
-        """Pin the windowed hash's Z-CDF segment boundaries to the
+    def _persist_page_bounds(self, bounds, dense_box):
+        """Pin the windowed hash's index semantics — Z-CDF segment
+        boundaries AND per-level shifted-morton dense boxes — to the
         experiment.
 
-        Calibrated bounds change how table entries are indexed, so they
-        must travel with the trained table. A sidecar `page_bounds.json` in
+        Calibration changes how table entries are indexed, so it must
+        travel with the trained table. A sidecar `page_bounds.json` in
         the exp dir is the authority: written on the experiment's first
         run, read back (overriding the flag-derived value) on every resume
         — flipping --hash_region_calib, swapping the ray bank, or future
         changes to the calibration code can then never silently read a
-        trained table under a different index map.
+        trained table under a different index map. A round-4 sidecar
+        (no "dense_box" key) pins dense_box=None: tables trained before
+        the shifted-morton regime keep their all-paged index.
         """
         import json
         legacy = self.exp_dir / "region_caps.json"
@@ -169,17 +178,24 @@ class Trainer:
                 f"are disposable).")
         path = self.exp_dir / "page_bounds.json"
         if path.exists():
-            saved = json.loads(path.read_text())["page_bounds"]
+            data = json.loads(path.read_text())
+            saved = data["page_bounds"]
             saved = None if saved is None else tuple(int(c) for c in saved)
-            if saved != bounds:
+            saved_box = data.get("dense_box")
+            saved_box = (None if saved_box is None else tuple(
+                None if b is None else tuple(int(v) for v in b)
+                for b in saved_box))
+            if saved != bounds or saved_box != dense_box:
                 self.log(
                     f"page_bounds: using the experiment's pinned value from "
                     f"{path.name} ({'calibrated' if saved else 'uniform'}); "
                     f"the flag-derived value differs and is ignored")
-            return saved
+            return saved, saved_box
         path.write_text(json.dumps(
-            {"page_bounds": None if bounds is None else list(bounds)}))
-        return bounds
+            {"page_bounds": None if bounds is None else list(bounds),
+             "dense_box": None if dense_box is None else
+             [None if b is None else list(b) for b in dense_box]}))
+        return bounds, dense_box
 
     def __init__(self, cfg: Config, *, scene: llff.Scene | None = None,
                  mesh=None, lpips_fn=None, log=print):
@@ -231,11 +247,13 @@ class Trainer:
             # table under the bounds it was trained with even if the flag,
             # the ray bank, or the calibration code changes
             # (`_persist_page_bounds`).
-            bounds = (_scene_page_bounds(self.bank, self.model)
-                      if cfg.hash_region_calib else None)
-            bounds = self._persist_page_bounds(bounds)
-            if bounds is not None:
-                self.model = self.model.clone(page_bounds=bounds)
+            bounds, dense_box = (_scene_hash_calibration(self.bank,
+                                                         self.model)
+                                 if cfg.hash_region_calib else (None, None))
+            bounds, dense_box = self._persist_page_bounds(bounds, dense_box)
+            if bounds is not None or dense_box is not None:
+                self.model = self.model.clone(page_bounds=bounds,
+                                              dense_box=dense_box)
         # the fine network may be sized separately (`run_nerf.py:417`)
         self.fine_model = self.model
         if (cfg.no_tcnn and (cfg.netdepth_fine != cfg.netdepth

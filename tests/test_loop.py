@@ -180,9 +180,13 @@ def test_page_bounds_pinned_to_experiment(scene_dir, tmp_path):
     tr = Trainer(cfg, log=lambda *a: None)
     sidecar = tr.exp_dir / "page_bounds.json"
     assert sidecar.exists()
-    pinned = json.loads(sidecar.read_text())["page_bounds"]
-    assert pinned == (None if tr.model.page_bounds is None
-                      else list(tr.model.page_bounds))
+    data = json.loads(sidecar.read_text())
+    assert data["page_bounds"] == (None if tr.model.page_bounds is None
+                                   else list(tr.model.page_bounds))
+    # round-5: the shifted-morton dense boxes are pinned alongside
+    assert data["dense_box"] == (None if tr.model.dense_box is None
+                                 else [None if b is None else list(b)
+                                       for b in tr.model.dense_box])
     tr.fit(n_iters=2, hooks=True)
     tr.ckpt.wait()
 
@@ -193,6 +197,7 @@ def test_page_bounds_pinned_to_experiment(scene_dir, tmp_path):
     tr2 = Trainer(cfg2, log=lambda *a: None)
     assert tr2.state.step == 2
     assert tr2.model.page_bounds == tr.model.page_bounds
+    assert tr2.model.dense_box == tr.model.dense_box
 
     # a fresh experiment with the flag off pins the uniform (None) value
     cfg3 = tiny_config(scene_dir, tmp_path, expname="caps_u", no_tcnn=False,
@@ -200,5 +205,19 @@ def test_page_bounds_pinned_to_experiment(scene_dir, tmp_path):
                        hash_region_calib=False)
     tr3 = Trainer(cfg3, log=lambda *a: None)
     assert tr3.model.page_bounds is None
+    assert tr3.model.dense_box is None
     assert json.loads(
         (tr3.exp_dir / "page_bounds.json").read_text())["page_bounds"] is None
+
+    # a ROUND-4 sidecar (no dense_box key) pins dense_box=None: tables
+    # trained before the shifted-morton regime keep their all-paged index
+    legacy_dir = tr.exp_dir.parent / "caps_legacy"
+    legacy_dir.mkdir()
+    legacy = {"page_bounds": data["page_bounds"]}
+    (legacy_dir / "page_bounds.json").write_text(json.dumps(legacy))
+    cfg4 = tiny_config(scene_dir, tmp_path, expname="caps_legacy",
+                       no_tcnn=False, log2_hashmap_size=13,
+                       hash_impl="win_xla", hash_region_calib=True)
+    tr4 = Trainer(cfg4, log=lambda *a: None)
+    assert tr4.model.page_bounds == tr.model.page_bounds
+    assert tr4.model.dense_box is None
