@@ -66,6 +66,13 @@ BASE_FLAGS = [
 
 def run_arm(ws: Path, name: str, iters: int, model_flags: list[str],
             on_tpu: bool, n_rand: int | None = None) -> float:
+    if on_tpu:
+        # cooldown: a TPU client that connects in the stale-grant window
+        # right after the previous client process exits can hang forever
+        # on the relay (observed on the round-5 tunnel); fresh clients
+        # after a pause acquire instantly
+        import time
+        time.sleep(75)
     run_dir = ws / f"{name}_run"
     run_dir.mkdir(parents=True, exist_ok=True)
     env = dict(os.environ,
