@@ -67,12 +67,50 @@ def make_scene(scene_dir: Path):
     synthetic.make_scene(scene_dir, n_views=10, h=80, w=100, factor=2, seed=0)
 
 
-def run_logged(cmd, cwd: Path, log_path: Path, env=None) -> float:
+def run_logged(cmd, cwd: Path, log_path: Path, env=None,
+               stall_timeout: float = 300.0, retries: int = 3) -> float:
+    """Run `cmd` logging to `log_path`, with a startup-stall watchdog.
+
+    A TPU client that dials the relay too soon after the previous client
+    exits can wedge forever before producing any output (observed on the
+    round-5 tunnel: the remote grant handoff serializes behind the prior
+    session's teardown and a too-early dial never recovers). If the log
+    has not grown past the jax platform banner within `stall_timeout`
+    seconds, the child is killed and relaunched — a fresh dial after the
+    pause acquires immediately. Once output flows, no timeout applies.
+    """
     t0 = time.time()
-    with open(log_path, "w") as log:
-        subprocess.run(cmd, cwd=cwd, stdout=log, stderr=subprocess.STDOUT,
-                       check=True, env=env)
-    return time.time() - t0
+    for attempt in range(retries):
+        with open(log_path, "w") as log:
+            proc = subprocess.Popen(cmd, cwd=cwd, stdout=log,
+                                    stderr=subprocess.STDOUT, env=env)
+            t_start = time.time()
+            stalled = False
+            while True:
+                try:
+                    proc.wait(timeout=10)
+                    break
+                except subprocess.TimeoutExpired:
+                    pass
+                log_sz = log_path.stat().st_size
+                if log_sz > 400:          # past the banner: it's alive
+                    proc.wait()
+                    break
+                if time.time() - t_start > stall_timeout:
+                    stalled = True
+                    proc.kill()
+                    proc.wait()
+                    break
+        if stalled:
+            print(f"[run_logged] startup stall ({stall_timeout:.0f}s, "
+                  f"attempt {attempt + 1}/{retries}); retrying", flush=True)
+            time.sleep(20)
+            continue
+        if proc.returncode != 0:
+            raise subprocess.CalledProcessError(proc.returncode, cmd)
+        return time.time() - t0
+    raise RuntimeError(f"{cmd[:2]}... stalled {retries}x at startup "
+                       f"(TPU relay grant never arrived)")
 
 
 def run_reference(ws: Path, iters: int) -> float:

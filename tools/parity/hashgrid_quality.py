@@ -157,6 +157,9 @@ def main():
                     "(`Config.hash_region_calib`) — the uniform Z-volume "
                     "split ablation; measured -11.6 dB on the (concentrated) "
                     "harness scene, PARITY_RUN §4")
+    ap.add_argument("--skip-hash", action="store_true",
+                    help="reuse an existing hashgrid_run/hashgrid.log in "
+                    "the workdir (resume after an interrupted mlp arm)")
     ap.add_argument("--skip-mlp", action="store_true",
                     help="reuse an existing mlp_run/mlp.log in the workdir "
                     "(e.g. copied from a sibling run with identical flags)")
@@ -181,9 +184,10 @@ def main():
             hash_flags += ["--hash_impl", args.hash_impl]
         if args.no_calib:
             hash_flags += ["--hash_region_calib", "False"]
-        times["hashgrid_wall_s"] = run_arm(
-            ws, "hashgrid", args.iters, hash_flags, on_tpu=not args.cpu,
-            n_rand=args.n_rand)
+        if not args.skip_hash:
+            times["hashgrid_wall_s"] = run_arm(
+                ws, "hashgrid", args.iters, hash_flags, on_tpu=not args.cpu,
+                n_rand=args.n_rand)
         if not args.skip_mlp:
             times["mlp_wall_s"] = run_arm(
                 ws, "mlp", args.iters,
