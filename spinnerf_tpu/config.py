@@ -148,6 +148,9 @@ class Config:
     # on hash-table params (0 = off = reference parity)
     mesh_shape: int = 0               # 0 = all local devices on the data axis
     seed: int = 0
+    epoch_sampling: bool = True       # without-replacement epoch strides over
+    # the ray groups (the reference's shuffled-DataLoader semantics,
+    # `run_nerf.py:1337-1413`); False = uniform iid with replacement
 
     @property
     def ndc(self) -> bool:

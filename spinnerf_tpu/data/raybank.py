@@ -138,11 +138,17 @@ def build_raybank(scene, i_train, *, depth_list=None, prepare: bool = False,
                      ("inp", all_idx[flat_labels != 0]))
 
     cache = {}   # groups sharing a source array share ONE device buffer
+    shuffle_rng = np.random.default_rng(0xC0FFEE)
     for name, idx in group_idx:
-        if id(idx) not in cache:
+        key = id(idx)
+        if key not in cache:
+            # fixed pre-shuffle (deterministic): epoch sampling then strides
+            # through a random order (see `sample_group`) — the reference's
+            # shuffled-DataLoader-per-epoch semantics, statelessly
+            idx = idx[shuffle_rng.permutation(len(idx))] if len(idx) else idx
             padded, count = _pad_idx(idx)
-            cache[id(idx)] = RayGroup(idx=jnp.asarray(padded), count=count)
-        groups[name] = cache[id(idx)]
+            cache[key] = RayGroup(idx=jnp.asarray(padded), count=count)
+        groups[name] = cache[key]
 
     depth_group = None
     if depth_list is not None:
@@ -166,6 +172,10 @@ def build_raybank(scene, i_train, *, depth_list=None, prepare: bool = False,
         depth = np.concatenate(depths)
         weight = np.concatenate(weights)
         k = len(view)
+        if k:   # pre-shuffle for epoch strides (view-ordered otherwise)
+            perm = shuffle_rng.permutation(k)
+            view, coord = view[perm], coord[perm]
+            depth, weight = depth[perm], weight[perm]
         pad = mesh_lib.pad_to_multiple(max(k, 1), 1024) - k
         depth_group = DepthRayGroup(
             view=jnp.asarray(np.pad(view, (0, pad))),
@@ -217,15 +227,36 @@ def _finish_ray_batch(bank, rays_o, rays_d, **extra):
                                   viewdirs=viewdirs, **extra)
 
 
-def sample_group(key, bank: RayBank, name: str, batch_size: int):
-    """Draw a random ray batch from a pixel group (uniform with replacement).
+def epoch_indices(step, batch_size: int, count: int):
+    """Without-replacement epoch sampling, stateless: positions stride
+    through the (pre-shuffled, see `build_raybank`) ray order; each epoch
+    applies a bijective rotation so batch composition shifts phase across
+    epochs. Every ray is visited exactly once per `count` draws — the
+    reference's shuffled-DataLoader semantics (`run_nerf.py:1337-1413`,
+    four `DataLoader(shuffle=True)` iterators re-created on StopIteration),
+    which uniform-with-replacement sampling does NOT give (at tiny-scene
+    counts ~37% of rays miss any 1-epoch window; measured as a slower
+    stage-5 takeoff, PARITY_RUN §5 r5)."""
+    c = max(count, 1)
+    j = step * batch_size + jnp.arange(batch_size, dtype=jnp.int32)
+    e = j // c
+    return (j + e * jnp.int32(65521)) % c
+
+
+def sample_group(key, bank: RayBank, name: str, batch_size: int, step=None):
+    """Draw a ray batch from a pixel group: without-replacement epoch
+    strides when `step` is given (see `epoch_indices`), else uniform with
+    replacement.
 
     Returns (ray_batch, targets) where targets has 'rgb' [B,3], 'label' [B],
     and 'inp_depth' [B] when the bank carries inpainted depths.
     """
     g = bank.groups[name]
     h, w, focal = bank.hwf
-    i = jax.random.randint(key, (batch_size,), 0, max(g.count, 1))
+    if step is None:
+        i = jax.random.randint(key, (batch_size,), 0, max(g.count, 1))
+    else:
+        i = epoch_indices(step, batch_size, g.count)
     vrc = g.idx[i]                                  # [B, 3]
     view, row, col = vrc[:, 0], vrc[:, 1], vrc[:, 2]
     rays_o, rays_d = rays_for_pixels(bank.poses, bank.hwf, view,
@@ -241,11 +272,14 @@ def sample_group(key, bank: RayBank, name: str, batch_size: int):
     return batch, targets
 
 
-def sample_depth_group(key, bank: RayBank, batch_size: int):
-    """Draw a random sparse-depth ray batch."""
+def sample_depth_group(key, bank: RayBank, batch_size: int, step=None):
+    """Draw a sparse-depth ray batch (epoch strides when `step` given)."""
     g = bank.depth_group
     h, w, focal = bank.hwf
-    i = jax.random.randint(key, (batch_size,), 0, max(g.count, 1))
+    if step is None:
+        i = jax.random.randint(key, (batch_size,), 0, max(g.count, 1))
+    else:
+        i = epoch_indices(step, batch_size, g.count)
     view = g.view[i]
     coord = g.coord[i]
     rays_o, rays_d = rays_for_pixels(bank.poses, bank.hwf, view,

@@ -811,12 +811,16 @@ hash_encode_win_fused.defvjp(_win_fused_fwd_rule, _win_fused_bwd_rule)
 # regime; calibrated boxes cover levels 16..199 on the §4 scene.
 RES_DENSE = 7
 
-# Max entry count of a CALIBRATED dense box (4 pages). Measured on the §4
-# scene's ray distribution: boxes within this bound leave 0.0000% of
-# corners outside the (min, max) two-page window (levels res 16..199,
-# boxes up to ~13 cells/axis), while the next level (res 374, 21-cell box,
-# 32-page span) measures 9.2% — so the criterion is the measured cliff.
-DENSE_BOX_CAP = 4 * PAGE_ENTRIES
+# Max entry count of a CALIBRATED dense box (32 pages). Measured on the §4
+# scene's ray distribution (true near/far): boxes through span 4096 (res
+# 16..106, up to ~13 cells/axis) leave 0.0000% of corners outside the
+# (min, max) two-page window; span 32768 (res 199, ~22-cell box) measures
+# 8.0%, span 2^18 (res 374) 10.4% with coords already overflowing the
+# table next level up. The cap admits res <= ~199: the splitting damage of
+# keeping such levels on the page hash (every cell fragmented across tens
+# of equal-sample segments) measured worse than the window-clamp aliasing
+# of admitting them — quality gate in PARITY_RUN §4 r5.
+DENSE_BOX_CAP = 32 * PAGE_ENTRIES
 
 
 def box_morton_span(e) -> int:

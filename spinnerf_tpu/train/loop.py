@@ -131,6 +131,7 @@ def train_config(cfg: Config) -> TrainConfig:
         single_image=cfg.no_batching,
         precrop_iters=cfg.precrop_iters,
         precrop_frac=cfg.precrop_frac,
+        epoch_sampling=cfg.epoch_sampling,
         depth_supervision=cfg.colmap_depth and cfg.depth_loss,
         depth_with_rgb=cfg.depth_with_rgb,
         depth_lambda=cfg.depth_lambda,

@@ -50,6 +50,10 @@ class TrainConfig(NamedTuple):
     single_image: bool = False          # reference --no_batching sampler
     precrop_iters: int = 0
     precrop_frac: float = 0.5
+    epoch_sampling: bool = True         # without-replacement epoch strides
+    #                                     (`raybank.epoch_indices`) — the
+    #                                     reference's shuffled-DataLoader
+    #                                     semantics; False = uniform iid
     depth_supervision: bool = False     # --colmap_depth --depth_loss
     depth_with_rgb: bool = False        # --depth_with_rgb: no separate depth
     #                                     render; supervise the photometric
@@ -220,11 +224,15 @@ def make_train_step(model, cfg: TrainConfig, bank: raybank.RayBank,
                     precrop_iters=cfg.precrop_iters,
                     precrop_frac=cfg.precrop_frac)
             else:
-                ba, tg = raybank.sample_group(k_g, bank, name, b)
+                ba, tg = raybank.sample_group(
+                    k_g, bank, name, b,
+                    step=step_idx if cfg.epoch_sampling else None)
             batches.append(ba)
             targets.append(tg)
         if use_depth:
-            depth_batch = raybank.sample_depth_group(k_depth, bank, b)
+            depth_batch = raybank.sample_depth_group(
+                k_depth, bank, b,
+                step=step_idx if cfg.epoch_sampling else None)
             if not cfg.depth_with_rgb:
                 batches.append({k: depth_batch[k]
                                 for k in ("origins", "directions", "near",

@@ -31,6 +31,10 @@ from pathlib import Path
 
 import numpy as np
 
+# runnable as `python tools/full_run.py` from anywhere: sys.path[0] is
+# tools/, not the repo root
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
