@@ -114,7 +114,14 @@ def main(argv=None):
         use_viewdirs=True, raw_noise_std=1.0,
         colmap_depth=True, depth_loss=True, depth_lambda=0.1,
         no_ndc=True, lindisp=True, render_factor=1,
-        i_feat=200, feat_weight=0.1, lrate=0.03, lrate_decay=10,
+        i_feat=200, feat_weight=0.1,
+        # the scene config's lrate 0.03 / decay 10 is the TCNN operating
+        # point (`DS_NeRF/configs/config.txt` with the tcnn default model);
+        # the 8x256 MLP (`--no_tcnn`) diverges at 0.03 at statue scale
+        # (measured: prepare stuck at 5.6 dB) — its reference operating
+        # point is the argparse default 5e-4 / 250 (`run_nerf.py:769-771`)
+        lrate=(0.03 if args.model == "hashgrid" else 5e-4),
+        lrate_decay=(10 if args.model == "hashgrid" else 250),
         white_bkgd=True,
         # score masked metrics against the exact GT hole masks — MVSeg's
         # export overwrites label/ with estimated dilated masks
