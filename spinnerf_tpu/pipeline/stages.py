@@ -176,8 +176,13 @@ def stage_eval(cfg: Config, trainer, *, log=print):
 
 def run_pipeline(cfg: Config, *, mvseg_iters=None, prepare_iters=None,
                  fit_iters=None, lama_checkpoint=None, refine=True,
-                 skip_mvseg=False, log=print):
+                 skip_mvseg=False, guidance_hook=None, log=print):
     """Run the full scene pipeline. Returns the final fit Trainer + metrics.
+
+    `guidance_hook`: optional callable() invoked between the inpaint stage
+    and the fit — e.g. `tools/full_run.py --analytic-guidance` substitutes
+    a synthetic scene's analytic object-removed renders when no trained
+    LaMa checkpoint exists in the environment.
 
     `pipeline_results.json` additionally records per-stage wall-clock
     seconds under `stage_seconds` (the reference's three separately-launched
@@ -199,6 +204,8 @@ def run_pipeline(cfg: Config, *, mvseg_iters=None, prepare_iters=None,
                      n_iters=prepare_iters, log=log)
     _timed("inpaint_guidance", stage_inpaint_guidance, cfg, lama_in,
            checkpoint_path=lama_checkpoint, refine=refine, log=log)
+    if guidance_hook is not None:
+        guidance_hook()
     trainer = _timed("fit", stage_fit, cfg, n_iters=fit_iters, log=log)
     results = _timed("eval", stage_eval, cfg, trainer, log=log)
     results["stage_seconds"] = timings

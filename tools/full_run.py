@@ -49,6 +49,14 @@ def main(argv=None):
     ap.add_argument("--out", default="FULLRUN.json")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny model + no LaMa refine (driver plumbing test)")
+    ap.add_argument("--analytic-guidance", default=None, action="store_true",
+                    help="after TIMING the LaMa stage (real FFC graphs), "
+                    "substitute the synthetic scene's analytic object-removed "
+                    "renders as the fit guidance. Default: on when no "
+                    "big-lama checkpoint is registered (random-weight LaMa "
+                    "guidance would make the fit/eval metrics measure the "
+                    "missing checkpoint, not the pipeline); off when real "
+                    "weights exist (SPINNERF_WEIGHTS_DIR)")
     ap.add_argument("--skip-mvseg", action="store_true",
                     help="reuse label/ masks already exported by a previous "
                     "(possibly interrupted) run on the same scene dir")
@@ -61,6 +69,10 @@ def main(argv=None):
     from spinnerf_tpu.config import Config
     from spinnerf_tpu.data import synthetic
     from spinnerf_tpu.pipeline import stages
+
+    if args.analytic_guidance is None:
+        from spinnerf_tpu import weights as wreg
+        args.analytic_guidance = wreg.find("big_lama") is None
 
     if args.gt <= 0:
         # stage_eval needs test views; otherwise hours of stages end in an
@@ -75,7 +87,8 @@ def main(argv=None):
     # exists and whose params match — an interrupted or differently-sized
     # generation is regenerated, not silently reused
     gen_params = {"views": args.views, "gt": args.gt, "h": args.h,
-                  "w": args.w, "factor": args.factor}
+                  "w": args.w, "factor": args.factor,
+                  "analytic": bool(args.analytic_guidance)}
     marker = scene_dir / "fullrun_scene.json"
     complete = (marker.exists()
                 and (scene_dir / "sparse/0/points3D.bin").exists()
@@ -95,11 +108,18 @@ def main(argv=None):
             scene_dir, n_views=args.views, h=args.h, w=args.w,
             factor=args.factor, n_gt=args.gt, n_points=3000,
             mask_views=mask_views, gt_mask_subdir="label_full")
-        # the pipeline must recreate the guidance products itself
+        # the pipeline must recreate the guidance products itself; keep the
+        # analytic object-removed renders aside for --analytic-guidance
         fdir = scene_dir / (f"images_{args.factor}"
                             if args.factor != 1 else "images")
-        shutil.rmtree(fdir / "lama_images")
-        shutil.rmtree(fdir / "depth")
+        if args.analytic_guidance:
+            keep = scene_dir / "analytic_guidance"
+            keep.mkdir(exist_ok=True)
+            shutil.move(str(fdir / "lama_images"), keep / "lama_images")
+            shutil.move(str(fdir / "depth"), keep / "depth")
+        else:
+            shutil.rmtree(fdir / "lama_images")
+            shutil.rmtree(fdir / "depth")
         marker.write_text(json.dumps(gen_params))
     gen_s = round(time.perf_counter() - t0, 1)
     print(f"[fullrun] scene ready in {gen_s}s", flush=True)
@@ -147,13 +167,33 @@ def main(argv=None):
         if n_labels < args.views:
             raise SystemExit(f"--skip-mvseg: only {n_labels}/{args.views} "
                              f"masks under {label_dir}")
+    guidance_hook = None
+    if args.analytic_guidance:
+        fdir = scene_dir / (f"images_{args.factor}"
+                            if args.factor != 1 else "images")
+
+        def guidance_hook():
+            # LaMa stage TIMED above with the real FFC graphs; its outputs
+            # came from an untrained generator (no big-lama ckpt in this
+            # environment), so the fit would measure the missing weights,
+            # not the pipeline. Substitute the scene's analytic
+            # object-removed renders (bit-exact guidance).
+            import shutil as sh
+            src = scene_dir / "analytic_guidance"
+            for d in ("lama_images", "depth"):
+                sh.rmtree(fdir / d, ignore_errors=True)
+                sh.copytree(src / d, fdir / d)
+            print("[fullrun] guidance replaced by the analytic "
+                  "object-removed renders (--analytic-guidance)", flush=True)
+
     trainer, results = stages.run_pipeline(
         cfg,
         mvseg_iters=max(2, int(4000 / s)),
         prepare_iters=max(2, int(4001 / s)),
         fit_iters=max(2, int(10001 / s)),
         refine=not args.smoke,
-        skip_mvseg=args.skip_mvseg)
+        skip_mvseg=args.skip_mvseg,
+        guidance_hook=guidance_hook)
     if args.skip_mvseg and args.mvseg_seconds is not None:
         # keep stage_seconds float-only (consumers sum/plot it); the
         # provenance note rides at the top level
@@ -164,6 +204,7 @@ def main(argv=None):
 
     results["config"] = {
         "model": args.model, "views": args.views, "n_gt": args.gt,
+        "analytic_guidance": bool(args.analytic_guidance),
         "train_res": [args.h // args.factor, args.w // args.factor],
         "iters": {"mvseg": max(2, int(4000 / s)),
                   "prepare": max(2, int(4001 / s)),
