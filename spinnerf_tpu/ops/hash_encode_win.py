@@ -598,14 +598,18 @@ N_WINDOWED_MIN = 1 << 15
 def n_windowed_min(t: int) -> int:
     """Minimum (padded) point count for the windowed kernels at table size
     t. A 512-point block spans ~ceil(B * n_segments / N) + 1 consecutive
-    equal-count segments, and the kernel window covers exactly 2 — so the
-    windowed premise needs block mass <= one segment:
-    N >= _B * n_segments(t) (262,144 at the reference-default 2^19; the
-    training step's coarse pass is exactly there at N_rand=1024 x 64
-    samples x 4 ray groups). Below this the model path switches to
-    `hash_encode_exact` — same index function, zero aliasing, XLA's
-    serialized gather is tolerable at such sizes."""
-    return max(N_WINDOWED_MIN, _B * n_segments(t))
+    equal-count segments, and the kernel window covers exactly 2 — block
+    mass <= one segment (N >= _B * n_segments) gives zero aliasing by
+    construction. The floor is set to 3/4 of that bound: at the
+    reference's published prepare config (N_rand 1024 x 64 coarse samples
+    x 3 ray groups = 196,608 points — EXACTLY the floor at 2^19) the
+    measured aliasing is 4.3% on the harness scene's calibrated index,
+    while the exact-gather fallback there costs ~1.2 s/step of serialized
+    XLA gather (~80 min over a 4001-iter prepare stage, measured round 5).
+    Below the floor aliasing grows fast (17% at half the bound, 32% at
+    3/8) and the exact path takes over — same index function, zero
+    aliasing, tolerable cost at such sizes."""
+    return max(N_WINDOWED_MIN, (_B * n_segments(t) * 3) // 4)
 
 
 def hash_encode_exact(table, idx, weights):

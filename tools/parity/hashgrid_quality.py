@@ -82,13 +82,12 @@ def run_arm(ws: Path, name: str, iters: int, model_flags: list[str],
     flags = list(BASE_FLAGS)
     if n_rand is not None:
         # the windowed-kernel regime needs >= n_windowed_min(2^19)
-        # points per encode (262,144): in prepare mode the step renders
-        # THREE ray groups (rgb/clf/depth — no inp group), so the coarse
-        # pass is N_rand x 3 x 32 points and N_rand must be >= 4096 (2048
-        # leaves the coarse encode on the serialized exact-gather path:
-        # measured 3 s/step vs ~90 ms). The default 128 stays on the
-        # exact-gather fallback — both regimes must be quality-proven
-        # (VERDICT r3 #3).
+        # points per encode (196,608 since the round-5 3/4 floor): in
+        # prepare mode the step renders THREE ray groups (rgb/clf/depth —
+        # no inp group), so the coarse pass is N_rand x 3 x 32 points and
+        # N_rand >= 4096 keeps every pass comfortably windowed. The
+        # default 128 stays on the exact-gather fallback — both regimes
+        # must be quality-proven (VERDICT r3 #3).
         flags[flags.index("--N_rand") + 1] = str(n_rand)
     cmd = [sys.executable, "-m", "spinnerf_tpu.cli", "train",
            "--expname", name, "--basedir", str(run_dir / "logs"),
