@@ -204,6 +204,19 @@ def _consecutive_pages(blocks, t: int):
     return jnp.stack([pa, pa + 1], axis=1).astype(jnp.int32)  # [L, 2, NB]
 
 
+def _pack_pages(pages):
+    """[L, 2, NB] page pairs -> [L, NB] int32 with pa in the low 16 bits
+    and pb in the high 16 — the scalar-prefetch operand lives in SMEM,
+    whose budget a [L, 2, NB] int32 array exceeds at full-frame render
+    chunks (measured: 16 levels x 2 x 8192 blocks = 1.0M > the 1M SMEM
+    cap). Page ids are < T/PAGE_ENTRIES <= 2^15 for every supported table
+    (T <= 2^25), so the packed value stays positive int32."""
+    l, _, nb = pages.shape
+    if pages.shape[1] != 2:
+        raise ValueError("pages must be [L, 2, NB]")
+    return (pages[:, 0, :] | (pages[:, 1, :] << 16)).astype(jnp.int32)
+
+
 def window_offsets(idx, t: int, pages=None):
     """idx: [L, 8, N] int32 entry indices (points sorted along the Z-curve,
     N a multiple of _B). Returns:
@@ -352,8 +365,8 @@ def _win_bwd_kernel(pages_ref, off_ref, w_ref, g_ref, dtab_ref):
         dtab_ref[0] = jnp.zeros_like(dtab_ref[0])
 
     offs, ws = _corner_ref_offs(off_ref, w_ref)
-    _bwd_accumulate(offs, ws, g_ref, pages_ref[l, 0, b], pages_ref[l, 1, b],
-                    dtab_ref)
+    v = pages_ref[l, b]
+    _bwd_accumulate(offs, ws, g_ref, v & 0xFFFF, v >> 16, dtab_ref)
 
 
 # -----------------------------------------------------------------------------
@@ -437,16 +450,17 @@ def _win_fwd_impl(table, idx, weights, pages, interpret):
     _, off = window_offsets(idx, t, pages)
     off, w = _prep(off, weights, n)
     tabd = _pack_dup(table)                        # [L, n_pages, 32, 128]
+    pages_pk = _pack_pages(pages)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(l, n // _B),
         in_specs=_point_specs() + [
             pl.BlockSpec((1, 1, _PAGE_ROWS_DUP, 128),
-                         lambda i, j, pages: (i, pages[i, 0, j], 0, 0),
+                         lambda i, j, pages: (i, pages[i, j] & 0xFFFF, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, _PAGE_ROWS_DUP, 128),
-                         lambda i, j, pages: (i, pages[i, 1, j], 0, 0),
+                         lambda i, j, pages: (i, pages[i, j] >> 16, 0, 0),
                          memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((1, 2, _B), lambda i, j, pages: (i, 0, j),
                                memory_space=pltpu.VMEM),
@@ -456,7 +470,7 @@ def _win_fwd_impl(table, idx, weights, pages, interpret):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((l, 2, n), jnp.float32),
         interpret=interpret,
-    )(pages, off, w, tabd, tabd)
+    )(pages_pk, off, w, tabd, tabd)
     # [L, 2, N] -> [L*2, N] is free (contiguous); the transpose to [N, L*2]
     # moves between two DENSE layouts (N-minor -> 32-minor, padded 4x not
     # 64x). Returning [N, L, F] here would tile-pad F=2 to 128 lanes.
@@ -488,7 +502,7 @@ def _win_bwd_rule(interpret, res, g):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((l, r, 128), jnp.float32),
         interpret=interpret,
-    )(pages, off, w, g_l)
+    )(_pack_pages(pages), off, w, g_l)
     return dpacked.reshape(l, t, f), None, None, None
 
 
@@ -570,8 +584,9 @@ def _win_fwd_fused_kernel(t: int, pages_ref, res_ref,
     bc_ref the [2, B] per-point segment base/capmask block."""
     l = pl.program_id(0)
     j = pl.program_id(1)
+    v = pages_ref[l, j]
     offs, ws = _corner_geom(xt_ref[...], bc_ref[...], res_ref, l,
-                            pages_ref[l, 0, j], pages_ref[l, 1, j], t)
+                            v & 0xFFFF, v >> 16, t)
     _paired_gather(offs, ws, pg0_ref[0, 0], pg1_ref[0, 0], out_ref)
 
 
@@ -586,7 +601,8 @@ def _win_bwd_fused_kernel(t: int, pages_ref, res_ref,
     def _():
         dtab_ref[0] = jnp.zeros_like(dtab_ref[0])
 
-    pa, pb = pages_ref[l, 0, b], pages_ref[l, 1, b]
+    v = pages_ref[l, b]
+    pa, pb = v & 0xFFFF, v >> 16
     offs, ws = _corner_geom(xt_ref[...], bc_ref[...], res_ref, l, pa, pb, t)
     _bwd_accumulate(offs, ws, g_ref, pa, pb, dtab_ref)
 
@@ -729,10 +745,12 @@ def _win_fused_impl(table, xt_s, resolutions, pages, interpret, page_bounds,
             pl.BlockSpec((2, _B), lambda i, j, pages, res: (0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, _PAGE_ROWS_DUP, 128),
-                         lambda i, j, pages, res: (i, pages[i, 0, j], 0, 0),
+                         lambda i, j, pages, res: (i, pages[i, j] & 0xFFFF,
+                                                   0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, _PAGE_ROWS_DUP, 128),
-                         lambda i, j, pages, res: (i, pages[i, 1, j], 0, 0),
+                         lambda i, j, pages, res: (i, pages[i, j] >> 16,
+                                                   0, 0),
                          memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((1, 2, _B), lambda i, j, pages, res: (i, 0, j),
                                memory_space=pltpu.VMEM),
@@ -742,7 +760,7 @@ def _win_fused_impl(table, xt_s, resolutions, pages, interpret, page_bounds,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((l, 2, n), jnp.float32),
         interpret=interpret,
-    )(pages, res_arr, xt_s, bc, tabd, tabd)
+    )(_pack_pages(pages), res_arr, xt_s, bc, tabd, tabd)
     # bc rides the residuals ([2, N] f32 — 6 MB at training shape): the
     # backward would otherwise rebuild it (zkey27 + the [K, N]
     # page_lookup compare-reduction) per pass — measured ~2 ms/step at
@@ -793,7 +811,7 @@ def _win_fused_bwd_rule(resolutions, interpret, page_bounds, dense_box,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((l, r, 128), jnp.float32),
         interpret=interpret,
-    )(pages, res_arr, xt_s, bc, g_l)
+    )(_pack_pages(pages), res_arr, xt_s, bc, g_l)
     return dpacked.reshape(l, t, f), None, None
 
 
