@@ -26,6 +26,10 @@ import argparse
 import functools
 import time
 
+import sys as _sys
+from pathlib import Path as _P
+_sys.path.insert(0, str(_P(__file__).resolve().parents[1]))
+
 import jax
 import jax.numpy as jnp
 import numpy as np

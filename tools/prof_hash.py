@@ -7,6 +7,10 @@ targets the measured bottleneck instead of a guess.
 """
 import time
 
+import sys as _sys
+from pathlib import Path as _P
+_sys.path.insert(0, str(_P(__file__).resolve().parents[1]))
+
 import jax
 import jax.numpy as jnp
 import numpy as np
